@@ -1,0 +1,268 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from acezero_tpu.geometry import get_pixel_grid, invert_se3
+from acezero_tpu.geometry.rotations import matrix_to_rodrigues, rotation_angle
+from acezero_tpu.registration import (
+    RansacConfig,
+    estimate_pose,
+    estimate_poses_batch,
+    lm_pnp,
+    p3p_grunert,
+    reprojection_errors,
+    solve_quartic,
+)
+
+
+def test_solve_quartic_known_roots(rng):
+    # (x-1)(x-2)(x+3)(x-0.5) with random leading scale
+    true_roots = np.array([1.0, 2.0, -3.0, 0.5])
+    for lead in [1.0, -2.5]:
+        c = lead * np.poly(true_roots)
+        roots, valid = solve_quartic(jnp.asarray(c[None], jnp.float32))
+        roots = np.sort(np.asarray(roots[0]))
+        assert np.asarray(valid).all()
+        np.testing.assert_allclose(roots, np.sort(true_roots), atol=1e-4)
+
+
+def test_solve_quartic_complex_pairs():
+    # x^4 + 1 has no real roots
+    c = jnp.asarray([[1.0, 0, 0, 0, 1.0]], jnp.float32)
+    roots, valid = solve_quartic(c)
+    assert not np.asarray(valid).any()
+
+
+def test_solve_quartic_two_real():
+    # (x^2+1)(x-2)(x+5): real roots 2, -5
+    c = np.poly([2.0, -5.0, 1j, -1j]).real
+    roots, valid = solve_quartic(jnp.asarray(c[None], jnp.float32))
+    real_roots = np.sort(np.asarray(roots[0])[np.asarray(valid[0])])
+    np.testing.assert_allclose(real_roots, [-5.0, 2.0], atol=1e-4)
+
+
+def _make_scene(rng, n=3, z_range=(2.0, 6.0)):
+    """World points visible from a random camera; returns pts, R, t, bearings."""
+    R = Rotation.random(random_state=np.random.RandomState(5)).as_matrix()
+    t = rng.normal(size=3)
+    p_cam = np.stack(
+        [
+            rng.uniform(-2, 2, size=n),
+            rng.uniform(-1.5, 1.5, size=n),
+            rng.uniform(*z_range, size=n),
+        ],
+        axis=1,
+    )
+    bearings = p_cam / np.linalg.norm(p_cam, axis=1, keepdims=True)
+    pts_world = (p_cam - t) @ R  # inverse: R^T (p_cam - t)
+    return pts_world, R, t, bearings
+
+
+def test_p3p_recovers_pose(rng):
+    pts, R_true, t_true, bearings = _make_scene(rng)
+    R, t, valid = p3p_grunert(
+        jnp.asarray(pts[None], jnp.float32), jnp.asarray(bearings[None], jnp.float32)
+    )
+    R, t, valid = np.asarray(R[0]), np.asarray(t[0]), np.asarray(valid[0])
+    assert valid.any()
+    errs = [
+        np.linalg.norm(R[i] - R_true) + np.linalg.norm(t[i] - t_true)
+        for i in range(4)
+        if valid[i]
+    ]
+    assert min(errs) < 5e-3, f"best candidate error {min(errs)}"
+
+
+def test_p3p_batch_shapes(rng):
+    pts = jnp.asarray(rng.normal(size=(7, 5, 3, 3)), jnp.float32)
+    b = rng.normal(size=(7, 5, 3, 3))
+    b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    R, t, valid = p3p_grunert(pts, jnp.asarray(b, jnp.float32))
+    assert R.shape == (7, 5, 4, 3, 3)
+    assert t.shape == (7, 5, 4, 3)
+    assert valid.shape == (7, 5, 4)
+
+
+def test_lm_pnp_converges_from_perturbation(rng):
+    n = 200
+    focal, ppx, ppy = 500.0, 320.0, 240.0
+    pts, R_true, t_true, _ = _make_scene(rng, n=n)
+    rvec_true = Rotation.from_matrix(R_true).as_rotvec()
+
+    p_cam = pts @ R_true.T + t_true
+    px = np.stack(
+        [focal * p_cam[:, 0] / p_cam[:, 2] + ppx, focal * p_cam[:, 1] / p_cam[:, 2] + ppy],
+        axis=1,
+    )
+
+    rvec0 = rvec_true + rng.normal(size=3) * 0.05
+    tvec0 = t_true + rng.normal(size=3) * 0.1
+    rvec, tvec, cost = lm_pnp(
+        jnp.asarray(rvec0, jnp.float32),
+        jnp.asarray(tvec0, jnp.float32),
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray(px, jnp.float32),
+        jnp.ones((n,), jnp.float32),
+        focal,
+        ppx,
+        ppy,
+        iterations=15,
+    )
+    np.testing.assert_allclose(np.asarray(rvec), rvec_true, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(tvec), t_true, atol=2e-3)
+    assert float(cost) < 1e-3
+
+
+def test_reprojection_errors_clamped(rng):
+    pts = jnp.asarray(rng.normal(size=(10, 3)) + [0, 0, 5], jnp.float32)
+    px = jnp.full((10, 2), 1e5, jnp.float32)  # absurd targets
+    errs = reprojection_errors(
+        jnp.zeros(3), jnp.zeros(3), pts, px, 500.0, 320.0, 240.0, max_error=100.0
+    )
+    np.testing.assert_allclose(np.asarray(errs), 100.0)
+
+
+def _render_synthetic_frame(rng, h=24, w=32, focal=500.0, noise=0.0, outlier_frac=0.0):
+    """Scene coords rendered from a known pose over the subsampled grid."""
+    ppx, ppy = w * 8 / 2, h * 8 / 2
+    grid = np.asarray(get_pixel_grid(h, w))  # (h, w, 2)
+    R = Rotation.random(random_state=np.random.RandomState(17)).as_matrix()
+    t = np.array([0.2, -0.1, 0.3])
+    depth = rng.uniform(2.0, 8.0, size=(h, w))
+    x = (grid[..., 0] - ppx) / focal * depth
+    y = (grid[..., 1] - ppy) / focal * depth
+    p_cam = np.stack([x, y, depth], axis=-1)
+    # world = R^T (cam - t)
+    pts_w = (p_cam - t) @ R
+    if noise > 0:
+        pts_w = pts_w + rng.normal(size=pts_w.shape) * noise
+    if outlier_frac > 0:
+        m = rng.uniform(size=(h, w)) < outlier_frac
+        pts_w[m] += rng.normal(size=(int(m.sum()), 3)) * 5.0
+    pose_w2c = np.eye(4)
+    pose_w2c[:3, :3] = R
+    pose_w2c[:3, 3] = t
+    return pts_w, pose_w2c, grid, focal, ppx, ppy
+
+
+def _pose_errors(pose_c2w_est, pose_w2c_true):
+    c2w_true = np.linalg.inv(pose_w2c_true)
+    t_err = np.linalg.norm(pose_c2w_est[:3, 3] - c2w_true[:3, 3])
+    r_rel = pose_c2w_est[:3, :3] @ c2w_true[:3, :3].T
+    r_err = float(rotation_angle(jnp.asarray(r_rel, jnp.float32))) * 180 / np.pi
+    return t_err, r_err
+
+
+def test_estimate_pose_clean_scene(rng):
+    pts_w, pose_w2c, grid, focal, ppx, ppy = _render_synthetic_frame(rng)
+    cfg = RansacConfig(hypotheses=16, max_tries=8, refinement_steps=4)
+    out = estimate_pose(
+        jax.random.PRNGKey(0),
+        jnp.asarray(pts_w, jnp.float32),
+        jnp.ones(pts_w.shape[:2], bool),
+        jnp.asarray(grid, jnp.float32),
+        focal,
+        ppx,
+        ppy,
+        cfg,
+    )
+    assert bool(out["valid"])
+    t_err, r_err = _pose_errors(np.asarray(out["pose_c2w"]), pose_w2c)
+    assert t_err < 0.01, f"translation error {t_err}"
+    assert r_err < 0.5, f"rotation error {r_err}"
+    # clean scene: essentially every cell is an inlier
+    assert int(out["inlier_count"]) > 0.95 * pts_w.shape[0] * pts_w.shape[1]
+
+
+def test_estimate_pose_with_outliers(rng):
+    pts_w, pose_w2c, grid, focal, ppx, ppy = _render_synthetic_frame(
+        rng, noise=0.005, outlier_frac=0.4
+    )
+    cfg = RansacConfig(hypotheses=32, max_tries=16, refinement_steps=8)
+    out = estimate_pose(
+        jax.random.PRNGKey(1),
+        jnp.asarray(pts_w, jnp.float32),
+        jnp.ones(pts_w.shape[:2], bool),
+        jnp.asarray(grid, jnp.float32),
+        focal,
+        ppx,
+        ppy,
+        cfg,
+    )
+    assert bool(out["valid"])
+    t_err, r_err = _pose_errors(np.asarray(out["pose_c2w"]), pose_w2c)
+    assert t_err < 0.05, f"translation error {t_err}"
+    assert r_err < 2.0, f"rotation error {r_err}"
+    n_cells = pts_w.shape[0] * pts_w.shape[1]
+    assert int(out["inlier_count"]) > 0.3 * n_cells
+
+
+def test_estimate_pose_respects_mask(rng):
+    pts_w, pose_w2c, grid, focal, ppx, ppy = _render_synthetic_frame(rng)
+    # corrupt the right half and mask it out
+    pts_w = pts_w.copy()
+    pts_w[:, 16:] = 1e3
+    mask = np.ones(pts_w.shape[:2], bool)
+    mask[:, 16:] = False
+    cfg = RansacConfig(hypotheses=16, max_tries=8, refinement_steps=4)
+    out = estimate_pose(
+        jax.random.PRNGKey(2),
+        jnp.asarray(pts_w, jnp.float32),
+        jnp.asarray(mask),
+        jnp.asarray(grid, jnp.float32),
+        focal,
+        ppx,
+        ppy,
+        cfg,
+    )
+    t_err, r_err = _pose_errors(np.asarray(out["pose_c2w"]), pose_w2c)
+    assert t_err < 0.02 and r_err < 1.0
+    # inliers only counted among valid cells
+    assert int(out["inlier_count"]) <= int(mask.sum())
+
+
+def test_estimate_poses_batch(rng):
+    frames = []
+    poses = []
+    for i in range(4):
+        pts_w, pose_w2c, grid, focal, ppx, ppy = _render_synthetic_frame(
+            np.random.default_rng(i)
+        )
+        frames.append(pts_w)
+        poses.append(pose_w2c)
+    cfg = RansacConfig(hypotheses=16, max_tries=8, refinement_steps=4)
+    out = estimate_poses_batch(
+        jax.random.PRNGKey(3),
+        jnp.asarray(np.stack(frames), jnp.float32),
+        jnp.ones((4,) + frames[0].shape[:2], bool),
+        jnp.asarray(grid, jnp.float32),
+        jnp.full((4,), focal, jnp.float32),
+        jnp.full((4,), ppx, jnp.float32),
+        jnp.full((4,), ppy, jnp.float32),
+        cfg,
+    )
+    assert out["pose_c2w"].shape == (4, 4, 4)
+    for i in range(4):
+        t_err, r_err = _pose_errors(np.asarray(out["pose_c2w"][i]), poses[i])
+        assert t_err < 0.02 and r_err < 1.0, f"frame {i}: {t_err} {r_err}"
+
+
+def test_estimate_pose_degenerate_returns_invalid(rng):
+    # all scene coords identical -> no valid hypothesis
+    pts_w = np.zeros((8, 8, 3))
+    grid = np.asarray(get_pixel_grid(8, 8))
+    cfg = RansacConfig(hypotheses=8, max_tries=4, refinement_steps=2)
+    out = estimate_pose(
+        jax.random.PRNGKey(4),
+        jnp.asarray(pts_w, jnp.float32),
+        jnp.ones((8, 8), bool),
+        jnp.asarray(grid, jnp.float32),
+        500.0,
+        32.0,
+        32.0,
+        cfg,
+    )
+    assert not bool(out["valid"])
+    assert int(out["inlier_count"]) == 0
+    np.testing.assert_allclose(np.asarray(out["pose_c2w"]), np.eye(4))

@@ -1,0 +1,108 @@
+"""Host-side image decode into static grayscale canvases.
+
+Images are decoded once, grayscaled (ITU-R 601 luma, like torchvision
+Grayscale), resized so the short side matches `image_short_size`
+(/root/reference/dataset.py:188-194), and centered on a static uint8 canvas
+shared by the whole dataset. Everything downstream (normalization, photo
+jitter, scale/rotation augmentation) runs on device with static shapes; the
+canvas mask marks real content vs padding.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _futures
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from PIL import Image
+
+# Grayscale normalization statistics (reference dataset.py:150-153,
+# calculated over the 7-Scenes training set, generalize well).
+GRAY_MEAN = 0.4
+GRAY_STD = 0.25
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class DecodedImages:
+    """Static-canvas dataset images.
+
+    canvases: (N, Hc, Wc) uint8 grayscale, content centered.
+    sizes: (N, 2) int32 — (h, w) of the real content after resize.
+    orig_sizes: (N, 2) int32 — (h, w) before resize (for the focal heuristic).
+    scale_factors: (N,) float32 — short_size / original_short_side, the factor
+      already applied to content (multiply original-pixel focals by this).
+    """
+
+    canvases: np.ndarray
+    sizes: np.ndarray
+    orig_sizes: np.ndarray
+    scale_factors: np.ndarray
+
+    @property
+    def canvas_hw(self) -> tuple[int, int]:
+        return self.canvases.shape[1], self.canvases.shape[2]
+
+
+def _decode_one(path: str, short_size: int):
+    with Image.open(path) as img:
+        img = img.convert("L")
+        w0, h0 = img.size
+        scale = short_size / min(w0, h0)
+        w1, h1 = round(w0 * scale), round(h0 * scale)
+        img = img.resize((w1, h1), Image.BILINEAR)
+        return np.asarray(img, np.uint8), (h0, w0), scale
+
+
+def decode_to_canvas(
+    paths: list[str],
+    short_size: int = 480,
+    canvas_hw: tuple[int, int] | None = None,
+    num_workers: int = 16,
+) -> DecodedImages:
+    """Decode all images and center them on a shared canvas.
+
+    The canvas defaults to the max resized extent over the dataset, rounded
+    up to a multiple of 8 (the encoder stride) so the subsampled feature grid
+    tiles it exactly.
+    """
+    with _futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
+        decoded = list(ex.map(lambda p: _decode_one(p, short_size), paths))
+
+    n = len(decoded)
+    sizes = np.array([d[0].shape for d in decoded], np.int32)
+    orig_sizes = np.array([d[1] for d in decoded], np.int32)
+    scales = np.array([d[2] for d in decoded], np.float32)
+
+    if canvas_hw is None:
+        hc = _round_up(int(sizes[:, 0].max()), 8)
+        wc = _round_up(int(sizes[:, 1].max()), 8)
+    else:
+        hc, wc = canvas_hw
+
+    canvases = np.zeros((n, hc, wc), np.uint8)
+    for i, (img, _, _) in enumerate(decoded):
+        h, w = img.shape
+        if h > hc or w > wc:  # center-crop anything larger than the canvas
+            top = max(0, (h - hc) // 2)
+            left = max(0, (w - wc) // 2)
+            img = img[top : top + min(h, hc), left : left + min(w, wc)]
+            h, w = img.shape
+            sizes[i] = (h, w)
+        y0 = (hc - h) // 2
+        x0 = (wc - w) // 2
+        canvases[i, y0 : y0 + h, x0 : x0 + w] = img
+
+    return DecodedImages(
+        canvases=canvases, sizes=sizes, orig_sizes=orig_sizes, scale_factors=scales
+    )
+
+
+def heuristic_focal_length(orig_h: int, orig_w: int) -> float:
+    """70% of the image diagonal, in original pixels (reference
+    dataset.py:269-274)."""
+    return math.sqrt(orig_h**2 + orig_w**2) * 0.7

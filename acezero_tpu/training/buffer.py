@@ -1,0 +1,220 @@
+"""Device-resident training patch buffer (the 8M-patch feature store).
+
+TPU-native redesign of the reference buffer fill
+(/root/reference/ace_trainer.py:293-452). Differences by design:
+
+  - the whole pipeline (augment -> encoder -> mask-weighted sampling ->
+    scatter) is one jitted chunk program; no CPU dataloader workers;
+  - the buffer is structure-of-arrays in HBM and is written in place via
+    donated dynamic-update-slices;
+  - per-row storage keeps only what varies per *sample* (features, target
+    pixel, target coords, image index, augmentation theta/scale). Poses and
+    base focals are gathered at train time from small per-image tables
+    instead of being replicated into every row (the reference stores 4x4+3x4
+    poses and two 3x3 intrinsics per row — ~50 extra floats that we fold
+    into 3 scalars + an index), cutting buffer HBM roughly in half.
+
+The fill honors the reference budget: `passes` complete passes over the
+dataset with fresh augmentations (max 10), `samples_per_image` (1024)
+mask-weighted draws with replacement per image, capped at
+`max_buffer_size` total rows (8M).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acezero_tpu.data.augment import augment_batch, warp_target_map
+from acezero_tpu.models.encoder import encoder_apply
+
+
+@dataclass(frozen=True)
+class BufferConfig:
+    max_buffer_size: int = 8_000_000
+    samples_per_image: int = 1024
+    max_dataset_passes: int = 10
+    use_aug: bool = True
+    aug_rotation: float = 15.0
+    aug_scale_max: float = 1.5
+    image_chunk: int = 8  # images encoded per jitted chunk
+    subsample: int = 8
+
+
+def plan_buffer_size(cfg: BufferConfig, num_images: int) -> tuple[int, int]:
+    """(total_rows, passes) under the reference budget
+    (ace_trainer.py:326-327,351)."""
+    per_pass = num_images * cfg.samples_per_image
+    passes = min(cfg.max_dataset_passes, max(1, -(-cfg.max_buffer_size // per_pass)))
+    total = min(cfg.max_buffer_size, passes * per_pass)
+    return total, passes
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_depth"))
+def _fill_chunk(
+    encoder_params,
+    images_u8,  # (B, H, W)
+    sizes,  # (B, 2)
+    target_maps,  # (B, hs, ws, 3) world-coordinate targets (zeros if unused)
+    key,
+    cfg: BufferConfig,
+    use_depth: bool,
+):
+    """Process one image chunk: augment, encode, sample patches.
+
+    Returns per-sample rows: features (B*S, C) bf16, cell pixel positions
+    (B*S, 2), target coords (B*S, 3), thetas/scales (B,)... flattened.
+    """
+    B, H, W = images_u8.shape
+    S = cfg.samples_per_image
+    sub = cfg.subsample
+    hs, ws = H // sub, W // sub
+
+    k_aug, k_sample = jax.random.split(key)
+    aug = augment_batch(
+        k_aug,
+        images_u8,
+        sizes,
+        aug_rotation_deg=cfg.aug_rotation if cfg.use_aug else 0.0,
+        aug_scale_min=1.0 / cfg.aug_scale_max,
+        aug_scale_max=cfg.aug_scale_max,
+        enabled=cfg.use_aug,
+    )
+
+    feats = encoder_apply(encoder_params, aug["images"])  # (B, hs, ws, C)
+
+    # feature-resolution mask: nearest sample at each cell center
+    off = sub // 2
+    mask_lr = aug["masks"][:, off::sub, off::sub]  # (B, hs, ws)
+
+    # mask-weighted multinomial with replacement (ace_trainer.py:419-426)
+    logits = jnp.where(mask_lr.reshape(B, hs * ws), 0.0, -jnp.inf)
+    # guard: an all-masked image samples uniformly (its rows are garbage but
+    # such frames don't occur in practice — reference `continue`s on them)
+    any_valid = jnp.any(mask_lr.reshape(B, hs * ws), axis=-1, keepdims=True)
+    logits = jnp.where(any_valid, logits, 0.0)
+    cell_idx = jax.random.categorical(k_sample, logits[:, None, :], shape=(B, S))  # (B, S)
+
+    feats_flat = feats.reshape(B, hs * ws, -1)
+    rows_feat = jnp.take_along_axis(feats_flat, cell_idx[..., None], axis=1)  # (B, S, C)
+
+    # full-res pixel position of each sampled cell (reference pixel grid)
+    cy = (cell_idx // ws).astype(jnp.float32)
+    cx = (cell_idx % ws).astype(jnp.float32)
+    px = jnp.stack([(cx + 0.5) * sub, (cy + 0.5) * sub], axis=-1)  # (B, S, 2)
+
+    if use_depth:
+        warped = jax.vmap(lambda m, t, s: warp_target_map(m, t, s))(
+            target_maps, aug["thetas"], aug["scales"]
+        )  # (B, hs, ws, 3)
+        t_flat = warped.reshape(B, hs * ws, 3)
+        rows_crds = jnp.take_along_axis(t_flat, cell_idx[..., None], axis=1)
+    else:
+        rows_crds = jnp.zeros((B, S, 3), jnp.float32)
+
+    return {
+        "features": rows_feat.astype(jnp.bfloat16).reshape(B * S, -1),
+        "target_px": px.reshape(B * S, 2),
+        "target_crds": rows_crds.reshape(B * S, 3),
+        "theta": jnp.repeat(aug["thetas"], S),
+        "scale": jnp.repeat(aug["scales"], S),
+    }
+
+
+@partial(jax.jit, donate_argnames=("buffer",))
+def _write_rows(buffer, rows, start):
+    """In-place (donated) row write at dynamic offset."""
+    return jax.tree.map(
+        lambda buf, r: jax.lax.dynamic_update_slice_in_dim(buf, r.astype(buf.dtype), start, 0),
+        buffer,
+        rows,
+    )
+
+
+def fill_training_buffer(
+    key: jax.Array,
+    encoder_params,
+    images_u8: np.ndarray,
+    sizes: np.ndarray,
+    cfg: BufferConfig,
+    target_maps: np.ndarray | None = None,
+    devices_pad: int = 1,
+):
+    """Fill the patch buffer from a scene's canvas images.
+
+    Args:
+      images_u8: (N, H, W) uint8 canvases (host or device).
+      sizes: (N, 2) content sizes.
+      target_maps: optional (N, hs, ws, 3) world-coordinate targets (seed
+        depth supervision); None for the self-supervised rounds.
+      devices_pad: round the buffer row count down to a multiple of this
+        (sharding alignment).
+
+    Returns:
+      dict of device arrays: features (M, C) bf16, target_px (M, 2),
+      target_crds (M, 3), img_idx (M,) int32, theta (M,), scale (M,).
+    """
+    n, H, W = images_u8.shape
+    total, passes = plan_buffer_size(cfg, n)
+    total = (total // (cfg.samples_per_image)) * cfg.samples_per_image
+    if devices_pad > 1:
+        total = (total // devices_pad) * devices_pad
+
+    use_depth = target_maps is not None
+    feat_dim = encoder_params["res2_conv3"]["w"].shape[-1]
+    S = cfg.samples_per_image
+
+    buffer = {
+        "features": jnp.zeros((total, feat_dim), jnp.bfloat16),
+        "target_px": jnp.zeros((total, 2), jnp.float32),
+        "target_crds": jnp.zeros((total, 3), jnp.float32),
+        "img_idx": jnp.zeros((total,), jnp.int32),
+        "theta": jnp.zeros((total,), jnp.float32),
+        "scale": jnp.ones((total,), jnp.float32),
+    }
+
+    images_dev = jnp.asarray(images_u8)
+    sizes_dev = jnp.asarray(sizes)
+    hs, ws = H // cfg.subsample, W // cfg.subsample
+    if use_depth:
+        targets_dev = jnp.asarray(target_maps, jnp.float32)
+    else:
+        targets_dev = jnp.zeros((n, hs, ws, 3), jnp.float32)
+
+    chunk = cfg.image_chunk
+    row = 0
+    done = False
+    for p in range(passes):
+        if done:
+            break
+        order = np.random.default_rng(p).permutation(n)
+        for c0 in range(0, n, chunk):
+            idx = order[c0 : c0 + chunk]
+            if len(idx) < chunk:  # pad the tail chunk (extra rows discarded)
+                idx = np.concatenate([idx, np.full(chunk - len(idx), idx[-1])])
+            key, sub_key = jax.random.split(key)
+            rows = _fill_chunk(
+                encoder_params,
+                images_dev[idx],
+                sizes_dev[idx],
+                targets_dev[idx],
+                sub_key,
+                cfg,
+                use_depth,
+            )
+            rows["img_idx"] = jnp.repeat(jnp.asarray(idx, jnp.int32), S)
+            n_rows = min(chunk * S, total - row)
+            if n_rows < chunk * S:
+                rows = jax.tree.map(lambda r: r[:n_rows], rows)
+                done = True
+            buffer = _write_rows(buffer, rows, row)
+            row += n_rows
+            if row >= total:
+                done = True
+                break
+
+    return buffer

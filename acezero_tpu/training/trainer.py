@@ -1,0 +1,420 @@
+"""The mapping engine: fused scene-coordinate training on device.
+
+TPU-native redesign of TrainerACE (/root/reference/ace_trainer.py): the whole
+training loop — batch sampling from the device-resident patch buffer, head
+forward (MXU matmuls), differentiable pose/focal refinement, reprojection
+loss with validity masking, AdamW updates for head + pose refiner + focal,
+LR schedule with dynamic early-stop cooldown — is one jitted lax.scan chunk.
+The host only checks stopping conditions and logs between chunks.
+
+Faithful semantics (value-level, per reference lines):
+  - L1-norm pixel residual, hard-clamp mask at 1000 px, depth window
+    [0.1, 1000] m (ace_trainer.py:545-576);
+  - invalid pixels pulled toward a constant-depth (10 m) pseudo target
+    through the unrefined K (ace_trainer.py:592-600), or toward GT scene
+    coordinates when depth supervision exists (ace_trainer.py:601-609);
+  - batch-inlier fraction (err < 10 px over full batch) feeds the cooldown
+    trigger (ace_trainer.py:585-586);
+  - pose updates gated by `pose_refinement_wait`, MLP refiner with additive
+    0.1-weighted deltas + Gram-Schmidt orthonormalization
+    (refine_poses.py:135-176);
+  - single shared focal refined as a relative scale (1+g)
+    (refine_calibration.py:21-53).
+
+Deliberate deviations (documented, value-neutral at convergence):
+  - bf16 compute + f32 master weights replaces fp16 + GradScaler;
+  - per-step batch rows are drawn i.i.d. uniform from the buffer instead of
+    an epoch-level random permutation (same distribution over the 8M-row
+    buffer, no 8M-element permutation materialization per epoch);
+  - a NaN loss skips the step instead of aborting the process.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acezero_tpu.data.depth import seed_scene_coordinates
+from acezero_tpu.data.scene import SceneData
+from acezero_tpu.geometry.rotations import special_gramschmidt, special_procrustes
+from acezero_tpu.models.head import HeadConfig, head_apply_flat, init_head_params
+from acezero_tpu.models.posenet import init_posenet_params, posenet_apply
+from acezero_tpu.training.buffer import BufferConfig, fill_training_buffer
+from acezero_tpu.training.loss import ReproLossConfig, repro_loss
+from acezero_tpu.training.optim import AdamWState, adamw_init, adamw_update
+from acezero_tpu.training.schedule import (
+    ScheduleConfig,
+    ScheduleState,
+    init_schedule,
+    schedule_lr,
+    schedule_update,
+)
+
+_logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 5120
+    schedule: ScheduleConfig = field(default_factory=ScheduleConfig)
+    loss: ReproLossConfig = field(default_factory=ReproLossConfig)
+    depth_min: float = 0.1
+    depth_max: float = 1000.0
+    depth_target: float = 10.0
+    repro_loss_hard_clamp: float = 1000.0
+    cooldown_trigger_px_threshold: float = 10.0
+    pose_refinement: str = "none"  # none | naive | mlp
+    pose_refinement_weight: float = 0.1
+    pose_refinement_lr: float = 0.001
+    pose_refinement_wait: int = 0
+    refinement_ortho: str = "gram-schmidt"  # gram-schmidt | procrustes
+    refine_calibration: bool = False
+    refine_calibration_lr: float = 0.001
+    use_depth: bool = False
+    chunk_steps: int = 250
+    iterations_output: int = 500
+
+
+class TrainState(NamedTuple):
+    head_params: dict
+    head_opt: AdamWState
+    pose_params: dict
+    pose_opt: AdamWState
+    focal_g: jax.Array  # scalar relative focal factor
+    focal_opt: AdamWState
+    sched: ScheduleState
+    iteration: jax.Array
+    nan_steps: jax.Array
+    key: jax.Array
+
+
+def _orthonormalize(cfg: TrainConfig, R: jax.Array) -> jax.Array:
+    if cfg.refinement_ortho == "procrustes":
+        return special_procrustes(R)
+    return special_gramschmidt(R)
+
+
+def _refined_w2c(cfg: TrainConfig, pose_params: dict, w2c_rows: jax.Array, img_idx: jax.Array):
+    """Apply the pose-refinement strategy to (B, 3, 4) original w2c rows."""
+    if cfg.pose_refinement == "none":
+        return w2c_rows
+    if cfg.pose_refinement == "naive":
+        rows = pose_params["pose_buffer"][img_idx]  # (B, 3, 4)
+        R = _orthonormalize(cfg, rows[:, :3, :3])
+        return jnp.concatenate([R, rows[:, :3, 3:4]], axis=-1)
+    # mlp: additive weighted delta predicted from the flattened pose
+    flat = w2c_rows.reshape(-1, 12)
+    delta = posenet_apply(pose_params, flat)
+    updated = (flat + cfg.pose_refinement_weight * delta).reshape(-1, 3, 4)
+    R = _orthonormalize(cfg, updated[:, :3, :3])
+    return jnp.concatenate([R, updated[:, :3, 3:4]], axis=-1)
+
+
+def _rotz(theta: jax.Array) -> jax.Array:
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    z = jnp.zeros_like(theta)
+    o = jnp.ones_like(theta)
+    return jnp.stack([c, -s, z, s, c, z, z, z, o], axis=-1).reshape(theta.shape + (3, 3))
+
+
+def _loss_fn(
+    trainable: tuple,
+    batch: dict,
+    ctx: dict,
+    cfg: TrainConfig,
+    head_cfg: HeadConfig,
+    iteration: jax.Array,
+):
+    head_params, pose_params, focal_g = trainable
+
+    pred = head_apply_flat(head_params, head_cfg, batch["features"])  # (B, 3) f32
+    B = pred.shape[0]
+
+    w2c_rows = ctx["poses_w2c"][batch["img_idx"]]  # (B, 3, 4) original poses
+    w2c_ref = _refined_w2c(cfg, pose_params, w2c_rows, batch["img_idx"])
+
+    # compose the augmentation rotation: T_eff = Rz(theta) @ T_refined
+    Rz = _rotz(batch["theta"])  # (B, 3, 3)
+    with jax.default_matmul_precision("highest"):
+        R_eff = Rz @ w2c_ref[:, :3, :3]
+        t_eff = (Rz @ w2c_ref[:, :3, 3:4])[..., 0]
+        p_cam = (R_eff @ pred[..., None])[..., 0] + t_eff  # (B, 3)
+
+    f_aug = ctx["focals"][batch["img_idx"]] * batch["scale"]  # unrefined
+    f_ref = f_aug * (1.0 + focal_g) if cfg.refine_calibration else f_aug
+
+    z = p_cam[:, 2]
+    z_clamped = jnp.maximum(z, cfg.depth_min)
+    u = f_ref * p_cam[:, 0] / z_clamped + ctx["ppx"]
+    v = f_ref * p_cam[:, 1] / z_clamped + ctx["ppy"]
+    err = jnp.abs(u - batch["target_px"][:, 0]) + jnp.abs(v - batch["target_px"][:, 1])
+
+    invalid = (z < cfg.depth_min) | (err > cfg.repro_loss_hard_clamp) | (z > cfg.depth_max)
+
+    if cfg.use_depth:
+        target = batch["target_crds"]
+        dist = jnp.linalg.norm(target - pred, axis=-1)
+        avail = jnp.sum(jnp.abs(target), axis=-1) > 1e-5
+        invalid = invalid | ((dist > 0.1) & avail)
+
+    valid = ~invalid
+    loss_valid = repro_loss(cfg.loss, err, valid, iteration)
+    inliers = jnp.sum(valid & (err < cfg.cooldown_trigger_px_threshold))
+    batch_inliers = inliers.astype(jnp.float32) / B
+
+    if cfg.use_depth:
+        inv_avail = (invalid & avail).astype(jnp.float32)
+        loss_invalid = jnp.sum(dist * inv_avail)
+    else:
+        # constant-depth pseudo target through the *unrefined* intrinsics
+        tx = (batch["target_px"][:, 0] - ctx["ppx"]) / f_aug * cfg.depth_target
+        ty = (batch["target_px"][:, 1] - ctx["ppy"]) / f_aug * cfg.depth_target
+        target_cam = jnp.stack([tx, ty, jnp.full_like(tx, cfg.depth_target)], axis=-1)
+        loss_invalid = jnp.sum(
+            jnp.sum(jnp.abs(target_cam - p_cam), axis=-1) * invalid.astype(jnp.float32)
+        )
+
+    loss = (loss_valid + loss_invalid) / B
+    return loss, {"batch_inliers": batch_inliers, "focal": f_ref[0] / jnp.maximum(batch["scale"][0], 1e-9)}
+
+
+@partial(jax.jit, static_argnames=("cfg", "head_cfg", "num_steps"))
+def _train_chunk(
+    state: TrainState,
+    buffer: dict,
+    ctx: dict,
+    cfg: TrainConfig,
+    head_cfg: HeadConfig,
+    num_steps: int,
+):
+    M = buffer["features"].shape[0]
+
+    def step(carry: TrainState, _):
+        active = carry.iteration < carry.sched.max_iterations
+
+        key, k_batch = jax.random.split(carry.key)
+        idx = jax.random.randint(k_batch, (cfg.batch_size,), 0, M)
+        batch = {k: v[idx] for k, v in buffer.items()}
+
+        trainable = (carry.head_params, carry.pose_params, carry.focal_g)
+        (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+            trainable, batch, ctx, cfg, head_cfg, carry.iteration
+        )
+        g_head, g_pose, g_focal = grads
+
+        finite = jnp.isfinite(loss)
+        do_update = active & finite
+
+        lr = schedule_lr(cfg.schedule, carry.sched, carry.iteration)
+        head_params, head_opt = adamw_update(
+            carry.head_params, g_head, carry.head_opt, lr, enabled=do_update
+        )
+
+        pose_enabled = (
+            do_update
+            & (carry.iteration > cfg.pose_refinement_wait)
+            & jnp.asarray(cfg.pose_refinement != "none")
+        )
+        pose_params, pose_opt = adamw_update(
+            carry.pose_params,
+            g_pose,
+            carry.pose_opt,
+            jnp.asarray(cfg.pose_refinement_lr, jnp.float32),
+            enabled=pose_enabled,
+        )
+
+        focal_g, focal_opt = adamw_update(
+            carry.focal_g,
+            g_focal,
+            carry.focal_opt,
+            jnp.asarray(cfg.refine_calibration_lr, jnp.float32),
+            enabled=do_update & jnp.asarray(cfg.refine_calibration),
+        )
+
+        sched_new = schedule_update(cfg.schedule, carry.sched, carry.iteration, aux["batch_inliers"])
+        sched = jax.tree.map(lambda n, o: jnp.where(active, n, o), sched_new, carry.sched)
+
+        new_state = TrainState(
+            head_params=head_params,
+            head_opt=head_opt,
+            pose_params=pose_params,
+            pose_opt=pose_opt,
+            focal_g=focal_g,
+            focal_opt=focal_opt,
+            sched=sched,
+            iteration=carry.iteration + jnp.where(active, 1, 0),
+            nan_steps=carry.nan_steps + jnp.where(active & ~finite, 1, 0),
+            key=key,
+        )
+        stats = {
+            "loss": jnp.where(active, loss, jnp.nan),
+            "batch_inliers": aux["batch_inliers"],
+            "lr": lr,
+            "active": active,
+        }
+        return new_state, stats
+
+    return jax.lax.scan(step, state, None, length=num_steps)
+
+
+class MappingTrainer:
+    """Drives one mapping round: buffer fill + chunked fused training.
+
+    The in-process equivalent of `TrainerACE(options).train()`
+    (/root/reference/train_ace.py:240-241).
+    """
+
+    def __init__(
+        self,
+        scene: SceneData,
+        encoder_params: dict,
+        head_cfg: HeadConfig,
+        cfg: TrainConfig,
+        buffer_cfg: BufferConfig,
+        head_params: dict | None = None,
+        base_seed: int = 2089,
+    ):
+        self.scene = scene
+        self.cfg = cfg
+        self.buffer_cfg = buffer_cfg
+        self.head_cfg = head_cfg
+        self.encoder_params = encoder_params
+        self.key = jax.random.PRNGKey(base_seed)
+
+        mean = scene.mean_camera_center()
+        if head_params is None:
+            self.key, k_head = jax.random.split(self.key)
+            head_params = init_head_params(k_head, head_cfg, jnp.asarray(mean))
+        self.head_params_init = head_params
+
+        if cfg.refine_calibration:
+            if not np.allclose(scene.focals_orig, scene.focals_orig[0], rtol=1e-5):
+                raise ValueError(
+                    "All images must share one focal length for calibration refinement"
+                )
+
+        # world-to-camera pose table (the refiner's anchor poses)
+        w2c = np.linalg.inv(scene.poses_c2w.astype(np.float64)).astype(np.float32)
+        ppx, ppy = scene.principal_point
+        self.ctx = {
+            "poses_w2c": jnp.asarray(w2c[:, :3, :4]),
+            "focals": jnp.asarray(scene.focals_canvas),
+            "ppx": jnp.asarray(ppx, jnp.float32),
+            "ppy": jnp.asarray(ppy, jnp.float32),
+        }
+
+    # ------------------------------------------------------------------
+
+    def _seed_target_maps(self) -> np.ndarray | None:
+        if not self.cfg.use_depth:
+            return None
+        hc, wc = self.scene.canvas_hw
+        hs, ws = hc // 8, wc // 8
+        maps = np.zeros((len(self.scene), hs, ws, 3), np.float32)
+        for idx, depth_canvas in self.scene.depth_maps.items():
+            maps[idx] = seed_scene_coordinates(
+                depth_canvas,
+                float(self.scene.focals_canvas[idx]),
+                self.scene.poses_c2w[idx],
+            )
+        return maps
+
+    def train(self) -> dict:
+        t0 = time.time()
+        self.key, k_fill, k_train = jax.random.split(self.key, 3)
+
+        buffer = fill_training_buffer(
+            k_fill,
+            self.encoder_params,
+            self.scene.images.canvases,
+            self.scene.images.sizes,
+            self.buffer_cfg,
+            target_maps=self._seed_target_maps(),
+        )
+        n_rows = buffer["features"].shape[0]
+        fill_time = time.time() - t0
+        _logger.info("Filled training buffer: %d rows in %.1fs", n_rows, fill_time)
+
+        cfg = self.cfg
+        if cfg.pose_refinement == "naive":
+            pose_params = {"pose_buffer": self.ctx["poses_w2c"]}
+        elif cfg.pose_refinement == "mlp":
+            self.key, k_pose = jax.random.split(self.key)
+            pose_params = init_posenet_params(k_pose)
+        else:
+            pose_params = {}
+
+        state = TrainState(
+            head_params=self.head_params_init,
+            head_opt=adamw_init(self.head_params_init),
+            pose_params=pose_params,
+            pose_opt=adamw_init(pose_params),
+            focal_g=jnp.asarray(0.0, jnp.float32),
+            focal_opt=adamw_init(jnp.asarray(0.0, jnp.float32)),
+            sched=init_schedule(cfg.schedule),
+            iteration=jnp.asarray(0, jnp.int32),
+            nan_steps=jnp.asarray(0, jnp.int32),
+            key=k_train,
+        )
+
+        train_start = time.time()
+        last_logged = 0
+        while True:
+            state, stats = _train_chunk(
+                state, buffer, self.ctx, cfg, self.head_cfg, cfg.chunk_steps
+            )
+            it = int(state.iteration)
+            if it - last_logged >= cfg.iterations_output or it >= int(state.sched.max_iterations):
+                active = np.asarray(stats["active"])
+                if active.any():
+                    losses = np.asarray(stats["loss"])[active]
+                    inl = np.asarray(stats["batch_inliers"])[active]
+                    _logger.info(
+                        "Iteration %6d|%6d, loss %.1f, batch inliers %.1f%%, time %.0fs",
+                        it,
+                        int(state.sched.max_iterations),
+                        float(losses[-1]),
+                        float(inl[-1]) * 100,
+                        time.time() - t0,
+                    )
+                last_logged = it
+            if it >= int(state.sched.max_iterations):
+                break
+        train_time = time.time() - train_start
+
+        if int(state.nan_steps) > 0:
+            _logger.warning("Skipped %d NaN-loss steps", int(state.nan_steps))
+
+        poses_w2c = self.current_poses(state)
+        focal_orig = float(self.scene.focals_orig[0]) * (1.0 + float(state.focal_g))
+
+        _logger.info(
+            "Mapping done: %d iterations (buffer %.1fs, train %.1fs)",
+            int(state.iteration),
+            fill_time,
+            train_time,
+        )
+        return {
+            "state": state,
+            "head_params": state.head_params,
+            "poses_w2c": poses_w2c,  # (N, 3, 4) refined world-to-camera
+            "focal_orig": focal_orig if cfg.refine_calibration else None,
+            "iterations": int(state.iteration),
+            "fill_time": fill_time,
+            "train_time": train_time,
+        }
+
+    def current_poses(self, state: TrainState) -> np.ndarray:
+        """All refined world-to-camera poses (N, 3, 4), like
+        PoseRefiner.get_all_current_poses (refine_poses.py:184-210)."""
+        w2c_rows = self.ctx["poses_w2c"]
+        idx = jnp.arange(w2c_rows.shape[0])
+        refined = _refined_w2c(self.cfg, state.pose_params, w2c_rows, idx)
+        return np.asarray(refined)

@@ -1,0 +1,186 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acezero_tpu.data.images import DecodedImages
+from acezero_tpu.data.scene import SceneData
+from acezero_tpu.models.encoder import init_encoder_params
+from acezero_tpu.models.head import HeadConfig
+from acezero_tpu.training.buffer import BufferConfig, fill_training_buffer, plan_buffer_size
+from acezero_tpu.training.loss import ReproLossConfig
+from acezero_tpu.training.schedule import ScheduleConfig
+from acezero_tpu.training.trainer import MappingTrainer, TrainConfig
+
+from synthetic import render_room_scene
+
+
+def _scene_from_synthetic(data, with_depth_idx=None):
+    n, h, w = data["images_u8"].shape
+    images = DecodedImages(
+        canvases=data["images_u8"],
+        sizes=np.tile(np.asarray([[h, w]], np.int32), (n, 1)),
+        orig_sizes=np.tile(np.asarray([[h, w]], np.int32), (n, 1)),
+        scale_factors=np.ones(n, np.float32),
+    )
+    scene = SceneData(
+        rgb_files=[f"synthetic_{i:03d}.png" for i in range(n)],
+        images=images,
+        poses_c2w=data["poses_c2w"],
+        pose_valid=np.ones(n, bool),
+        focals_canvas=np.full(n, data["focal"], np.float32),
+        focals_orig=np.full(n, data["focal"], np.float32),
+    )
+    if with_depth_idx is not None:
+        for i in with_depth_idx:
+            scene.depth_maps[i] = data["depth"][i]
+    return scene
+
+
+def test_plan_buffer_size():
+    cfg = BufferConfig(max_buffer_size=8_000_000, samples_per_image=1024, max_dataset_passes=10)
+    total, passes = plan_buffer_size(cfg, 1)  # seed image
+    assert passes == 10 and total == 10240
+    total, passes = plan_buffer_size(cfg, 1000)
+    assert passes == 8 and total == 8_000_000
+
+
+def test_fill_buffer_shapes_and_masking(rng):
+    data = render_room_scene(4, h=64, w=96)
+    # shrink content so there's padding to verify masked sampling
+    sizes = np.tile(np.asarray([[48, 80]], np.int32), (4, 1))
+    canv = np.zeros_like(data["images_u8"])
+    canv[:, 8:56, 8:88] = data["images_u8"][:, 8:56, 8:88]
+
+    cfg = BufferConfig(
+        max_buffer_size=4096, samples_per_image=256, max_dataset_passes=4,
+        use_aug=False, image_chunk=4,
+    )
+    enc = init_encoder_params(jax.random.PRNGKey(0))
+    buf = fill_training_buffer(jax.random.PRNGKey(1), enc, canv, sizes, cfg)
+
+    assert buf["features"].shape == (4096, 512)
+    assert buf["features"].dtype == jnp.bfloat16
+    assert buf["target_px"].shape == (4096, 2)
+    idx = np.asarray(buf["img_idx"])
+    assert set(np.unique(idx)) == {0, 1, 2, 3}
+
+    # sampled pixels must lie inside the content region (no padding cells)
+    px = np.asarray(buf["target_px"])
+    assert px[:, 0].min() >= 8 and px[:, 0].max() <= 88
+    assert px[:, 1].min() >= 8 and px[:, 1].max() <= 56
+
+
+def test_mapping_seed_with_depth_converges():
+    """Golden-value: a 1-image seed with GT depth must drive predictions to
+    the back-projected targets (the ACE0 bootstrap)."""
+    data = render_room_scene(1, h=96, w=128)
+    scene = _scene_from_synthetic(data, with_depth_idx=[0])
+
+    head_cfg = HeadConfig(num_head_blocks=1)
+    cfg = TrainConfig(
+        batch_size=512,
+        schedule=ScheduleConfig(schedule="constant", iterations=400, learning_rate_min=0.003),
+        loss=ReproLossConfig(loss_type="tanh", total_iterations=400),
+        use_depth=True,
+        chunk_steps=100,
+    )
+    buf_cfg = BufferConfig(
+        max_buffer_size=8192, samples_per_image=512, max_dataset_passes=8, image_chunk=1
+    )
+    trainer = MappingTrainer(
+        scene, init_encoder_params(jax.random.PRNGKey(2)), head_cfg, cfg, buf_cfg
+    )
+    result = trainer.train()
+    assert result["iterations"] == 400
+
+    # re-fill a clean (unaugmented) buffer and measure prediction error
+    from acezero_tpu.models.head import head_apply_flat
+
+    clean_cfg = BufferConfig(
+        max_buffer_size=1024, samples_per_image=512, max_dataset_passes=2,
+        use_aug=False, image_chunk=1,
+    )
+    maps = trainer._seed_target_maps()
+    buf = fill_training_buffer(
+        jax.random.PRNGKey(3),
+        trainer.encoder_params,
+        scene.images.canvases,
+        scene.images.sizes,
+        clean_cfg,
+        target_maps=maps,
+    )
+    pred = head_apply_flat(result["head_params"], head_cfg, buf["features"])
+    target = np.asarray(buf["target_crds"])
+    valid = np.abs(target).sum(-1) > 1e-5
+    err = np.linalg.norm(np.asarray(pred)[valid] - target[valid], axis=-1)
+
+    init_pred = head_apply_flat(trainer.head_params_init, head_cfg, buf["features"])
+    init_err = np.linalg.norm(np.asarray(init_pred)[valid] - target[valid], axis=-1)
+
+    # With a random (untrained) encoder the features of nearby cells are
+    # nearly collinear, which bounds achievable accuracy; assert a strong
+    # reduction rather than an absolute floor (the absolute floor is the
+    # pretrained encoder's job, exercised in the TPU bench).
+    assert np.median(err) < 0.35 * np.median(init_err), (
+        f"median scene-coord error {np.median(err)} vs init {np.median(init_err)}"
+    )
+
+
+def test_mapping_multiview_inliers_rise():
+    data = render_room_scene(6, h=96, w=128)
+    scene = _scene_from_synthetic(data)
+    head_cfg = HeadConfig(num_head_blocks=1)
+    cfg = TrainConfig(
+        batch_size=512,
+        schedule=ScheduleConfig(schedule="constant", iterations=300, learning_rate_min=0.003),
+        loss=ReproLossConfig(loss_type="dyntanh", total_iterations=300),
+        pose_refinement="mlp",
+        refine_calibration=True,
+        chunk_steps=75,
+    )
+    buf_cfg = BufferConfig(
+        max_buffer_size=6144, samples_per_image=512, max_dataset_passes=2, image_chunk=3
+    )
+    trainer = MappingTrainer(
+        scene, init_encoder_params(jax.random.PRNGKey(4)), head_cfg, cfg, buf_cfg
+    )
+    result = trainer.train()
+    assert result["iterations"] == 300
+    assert result["poses_w2c"].shape == (6, 3, 4)
+    # rotations stay orthonormal after refinement
+    R = result["poses_w2c"][:, :3, :3]
+    np.testing.assert_allclose(
+        R @ R.transpose(0, 2, 1), np.tile(np.eye(3), (6, 1, 1)), atol=1e-4
+    )
+    assert result["focal_orig"] is not None
+    assert 0.5 * data["focal"] < result["focal_orig"] < 2.0 * data["focal"]
+
+
+def test_early_stop_shortens_training():
+    """With an immediately-satisfied cooldown trigger, training must stop at
+    ~warmup + cooldown instead of the full budget."""
+    data = render_room_scene(1, h=96, w=128)
+    scene = _scene_from_synthetic(data, with_depth_idx=[0])
+    head_cfg = HeadConfig(num_head_blocks=0)
+    cfg = TrainConfig(
+        batch_size=512,
+        schedule=ScheduleConfig(
+            schedule="1cyclepoly",
+            iterations=5000,
+            warmup_iterations=50,
+            cooldown_iterations=100,
+            cooldown_trigger_percent=-1.0,  # always satisfied
+            cooldown_buffer_size=10,
+        ),
+        loss=ReproLossConfig(loss_type="tanh"),
+        use_depth=True,
+        chunk_steps=50,
+    )
+    buf_cfg = BufferConfig(
+        max_buffer_size=2048, samples_per_image=512, max_dataset_passes=4, image_chunk=1
+    )
+    trainer = MappingTrainer(
+        scene, init_encoder_params(jax.random.PRNGKey(5)), head_cfg, cfg, buf_cfg
+    )
+    result = trainer.train()
+    assert 140 <= result["iterations"] <= 160  # warmup 50 + buffer fill lag + cooldown 100

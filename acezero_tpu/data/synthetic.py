@@ -1,0 +1,143 @@
+"""Procedural multi-view scene generator (textured room interiors).
+
+Serves three roles in the framework:
+  - hermetic golden-value scenes for tests (known poses, depth, intrinsics);
+  - the training corpus for the TPU-native encoder pretraining recipe
+    (`acezero_tpu.pretrain`) — the reference ships a pretrained encoder blob
+    trained on ~100 real scenes (ACE paper); this generator provides an
+    unlimited, license-free substitute corpus;
+  - demo datasets for the CLI (`datasets/setup_synthetic.py` equivalent).
+
+Geometry: cameras inside an axis-aligned box; each pixel ray is intersected
+with the interior and shaded by a per-scene random multi-frequency 3D
+texture (smooth sinusoid mixture + quantized block pattern), giving
+perfectly multi-view-consistent images with exact depth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class SyntheticScene:
+    images_u8: np.ndarray  # (N, h, w) grayscale
+    poses_c2w: np.ndarray  # (N, 4, 4)
+    depth: np.ndarray  # (N, h, w) camera-z depth
+    focal: float
+
+
+def _make_texture(rng: np.random.Generator, block_amp: float = 0.35):
+    n_waves = 6
+    freqs = np.exp(rng.uniform(np.log(0.8), np.log(30.0), n_waves))
+    dirs = rng.normal(size=(n_waves, 3))
+    dirs *= (freqs / np.linalg.norm(dirs, axis=1))[:, None]
+    phases = rng.uniform(0, 2 * np.pi, n_waves)
+    amps = rng.uniform(0.05, 0.15, n_waves)
+    block_scale = rng.uniform(1.0, 6.0)
+    hx, hy, hz = rng.integers(1, 1 << 30, 3)
+
+    def texture(points: np.ndarray) -> np.ndarray:
+        val = np.full(points.shape[:-1], 0.5)
+        for k in range(n_waves):
+            val = val + amps[k] * np.sin(points @ dirs[k] + phases[k])
+        blocks = np.floor(points * block_scale).astype(np.int64)
+        hashed = ((blocks[..., 0] * hx) ^ (blocks[..., 1] * hy) ^ (blocks[..., 2] * hz)) % 256
+        val = (1 - block_amp) * val + block_amp * (hashed / 255.0)
+        return np.clip(val, 0.0, 1.0)
+
+    return texture
+
+
+def _look_at(position: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """cam-to-world rotation, +z toward target, OpenCV convention."""
+    z = target - position
+    z = z / np.linalg.norm(z)
+    up = np.array([0.0, -1.0, 0.0])
+    if abs(np.dot(up, z)) > 0.95:
+        up = np.array([1.0, 0.0, 0.0])
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z], axis=1)
+
+
+def render_scene(
+    n_views: int,
+    h: int = 96,
+    w: int = 128,
+    focal: float | None = None,
+    seed: int = 0,
+    spread: float | None = None,
+    box_half: float | None = None,
+) -> SyntheticScene:
+    rng = np.random.default_rng(seed)
+    if focal is None:
+        focal = float(rng.uniform(0.7, 1.4) * w)
+    if box_half is None:
+        box_half = float(rng.uniform(2.0, 4.0))
+    if spread is None:
+        spread = 0.25 * box_half
+    texture = _make_texture(rng)
+    cx, cy = w / 2.0, h / 2.0
+
+    images = np.zeros((n_views, h, w), np.uint8)
+    depths = np.zeros((n_views, h, w), np.float32)
+    poses = np.zeros((n_views, 4, 4), np.float32)
+
+    uu, vv = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    d_cam = np.stack([(uu - cx) / focal, (vv - cy) / focal, np.ones_like(uu)], axis=-1)
+
+    for i in range(n_views):
+        angle = 2 * np.pi * i / n_views + rng.normal() * 0.05
+        position = np.array(
+            [
+                spread * np.cos(angle) + rng.normal() * 0.1,
+                rng.normal() * 0.2,
+                spread * np.sin(angle) + rng.normal() * 0.1,
+            ]
+        )
+        target = position + np.array([np.cos(angle), rng.normal() * 0.2, np.sin(angle)])
+        R = _look_at(position, target)
+
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = position
+        poses[i] = T
+
+        d_world = d_cam @ R.T
+        t_exit = np.full((h, w), np.inf)
+        for axis in range(3):
+            d = d_world[..., axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_lo = (-box_half - position[axis]) / d
+                t_hi = (box_half - position[axis]) / d
+            t_far = np.maximum(t_lo, t_hi)
+            t_far = np.where(np.isfinite(t_far), t_far, np.inf)
+            t_exit = np.minimum(t_exit, t_far)
+
+        points = position + d_world * t_exit[..., None]
+        images[i] = (texture(points) * 255).astype(np.uint8)
+        depths[i] = t_exit  # camera-z depth (d_cam z-component is 1)
+
+    return SyntheticScene(images_u8=images, poses_c2w=poses, depth=depths, focal=focal)
+
+
+def scene_coordinate_maps(scene: SyntheticScene, subsample: int = 8) -> np.ndarray:
+    """GT world-coordinate maps (N, h/sub, w/sub, 3) at cell centers."""
+    n, h, w = scene.depth.shape
+    off = subsample // 2
+    d = scene.depth[:, off::subsample, off::subsample]
+    hs, ws = d.shape[1:]
+    ys = (np.arange(hs) + 0.5) * subsample
+    xs = (np.arange(ws) + 0.5) * subsample
+    xx, yy = np.meshgrid(xs, ys)
+    cx, cy = w / 2.0, h / 2.0
+    x = (xx[None] - cx) / scene.focal * d
+    y = (yy[None] - cy) / scene.focal * d
+    p_cam = np.stack([x, y, d], axis=-1)
+    R = scene.poses_c2w[:, :3, :3]
+    t = scene.poses_c2w[:, :3, 3]
+    return np.einsum("nab,nhwb->nhwa", R, p_cam) + t[:, None, None, :]

@@ -46,15 +46,18 @@ def conv2d(x: jax.Array, p: dict, stride: int = 1, compute_dtype=jnp.bfloat16) -
     """
     kh, kw = p["w"].shape[:2]
     pad_h, pad_w = (kh - 1) // 2, (kw - 1) // 2
+    # NOTE: no explicit preferred_element_type — the TPU MXU accumulates conv
+    # partials in f32 internally regardless of the bf16 output dtype, and a
+    # f32 preferred type breaks conv's transpose rule under grad (mixed-dtype
+    # cotangents), which the encoder-pretraining path exercises.
     out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         p["w"].astype(compute_dtype),
         window_strides=(stride, stride),
         padding=((pad_h, pad_h), (pad_w, pad_w)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return (out + p["b"]).astype(compute_dtype)
+    return out + p["b"].astype(compute_dtype)
 
 
 def dense(x: jax.Array, p: dict, compute_dtype=jnp.bfloat16) -> jax.Array:

@@ -134,7 +134,7 @@ def export_head_state_dict(params: dict, cfg: HeadConfig, half: bool = True):
     torch = _torch()
 
     def t(x):
-        out = torch.from_numpy(np.asarray(x, np.float32))
+        out = torch.from_numpy(np.asarray(x, np.float32).copy())
         return out.half() if half else out
 
     sd = {}

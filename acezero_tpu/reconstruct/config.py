@@ -1,0 +1,90 @@
+"""Configuration schema of the reconstruction pipeline.
+
+Field names and defaults mirror the reference CLI flag surface
+(/root/reference/ace_zero.py:33-158 plus the train_ace.py flags the
+orchestrator forwards through its command builders,
+ace_zero_util.py:63-157), so the published reconstruction recipes translate
+1:1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+
+@dataclass
+class AceZeroConfig:
+    rgb_files: str = ""
+    results_folder: Path = Path("results")
+    depth_files: str | None = None
+
+    # --- main reconstruction loop (ace_zero.py:44-82) ---
+    iterations_max: int = 100
+    registration_threshold: float = 0.99
+    relative_registration_threshold: float = 0.01
+    final_refine: bool = True
+    final_refit: bool = True
+    final_refit_posewait: int = 5000
+    refit_iterations: int = 25000
+    registration_confidence: int = 500
+    try_seeds: int = 5
+    seed_iterations: int = 10000
+    seed_network: Path | None = None
+    warmstart: bool = True
+    export_point_cloud: bool = False
+    dense_point_cloud: bool = False
+
+    # --- pose refinement (ace_zero.py:86-93) ---
+    refinement: str = "mlp"  # mlp | none | naive
+    refinement_ortho: str = "gram-schmidt"
+    pose_refinement_wait: int = 0
+    pose_refinement_lr: float = 0.001
+
+    # --- calibration refinement (ace_zero.py:97-101) ---
+    refine_calibration: bool = True
+    use_external_focal_length: float = -1.0  # -1: heuristic 70% diagonal
+
+    # --- ACE early stopping (ace_zero.py:105-113) ---
+    learning_rate_schedule: str = "1cyclepoly"
+    learning_rate_max: float = 0.003
+    learning_rate_min: float = 0.0005
+    learning_rate_warmup_iterations: int = 1000
+    learning_rate_warmup_learning_rate: float = 0.0005
+    cooldown_iterations: int = 5000
+    cooldown_threshold: float = 0.7
+
+    # --- general ACE parameters (ace_zero.py:117-136) ---
+    image_resolution: int = 480
+    num_head_blocks: int = 1
+    max_dataset_passes: int = 10
+    repro_loss_type: str = "tanh"
+    repro_loss_hard_clamp: float = 1000.0
+    repro_loss_soft_clamp: float = 50.0
+    aug_rotation: float = 15.0
+    iterations: int = 25000  # per-round cap (train_ace.py default)
+    batch_size: int = 5120
+    max_training_buffer_size: int = 8_000_000
+    samples_per_image: int = 1024
+    use_homogeneous: bool = True
+
+    # --- registration (ace_zero.py:140-143) ---
+    ransac_iterations: int = 32
+    ransac_threshold: float = 10.0
+
+    # --- visualization (ace_zero.py:147-155) ---
+    render_visualization: bool = False
+    render_marker_size: float = 0.03
+    render_camera_z_offset: float = 4.0
+
+    # --- misc ---
+    random_seed: int = 1305
+    base_seed: int = 2089  # trainer seed (train_ace.py:30)
+    iterations_output: int = 500
+    encoder_path: Path | None = None  # torch .pt encoder weights
+    registration_frame_chunk: int = 16
+
+    # internal knobs (not in the reference surface)
+    num_decode_workers: int = 16
+    refinement_steps: int = 8  # registrar refit loop length
+    extras: dict = field(default_factory=dict)

@@ -1,0 +1,474 @@
+"""The ACE0 reconstruction loop — one process, one device program per stage.
+
+In-process redesign of the reference orchestrator
+(/root/reference/ace_zero.py:160-410 with the command builders of
+ace_zero_util.py): instead of spawning train_ace.py / register_mapping.py
+subprocesses that exchange state through text files, the pipeline holds the
+scene (decoded once), the encoder, the current head, poses, and the focal
+estimate as in-memory/device state. The text artifacts (`iterationX.pt`
+head checkpoints, `poses_iterationX[_preliminary].txt`, `poses_final.txt`)
+are still written every round in the byte-compatible formats — as outputs,
+not as IPC.
+
+Loop structure (mirrors ace_zero.py:179-339):
+  1. seed stage: try `try_seeds` single-image seeds (depth-initialized),
+     10k-iteration mapping each, scored by registration rate on <=1000
+     frames; best seed wins;
+  2. register all frames to the best seed map;
+  3. iterate mapping (self-supervised on confident poses, MLP pose
+     refinement + focal refinement, warm-started) and registration of all
+     frames, until >=99% registered or <1% improvement;
+  4. final refine round, optionally a from-scratch 25k-iteration refit
+     (dyntanh + circle schedule + pose wait).
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from acezero_tpu.data.depth import DepthEstimator, depth_to_canvas, load_depth_file
+from acezero_tpu.data.scene import SceneData, load_scene
+from acezero_tpu.io.pose_files import (
+    PoseFileEntry,
+    get_files_from_glob,
+    registration_rates,
+    write_pose_file,
+)
+from acezero_tpu.models import torch_io
+from acezero_tpu.models.encoder import init_encoder_params
+from acezero_tpu.models.head import HeadConfig
+from acezero_tpu.registration.driver import RegistrationConfig, register_frames
+from acezero_tpu.registration.ransac import RansacConfig
+from acezero_tpu.reconstruct.config import AceZeroConfig
+from acezero_tpu.training.buffer import BufferConfig
+from acezero_tpu.training.loss import ReproLossConfig
+from acezero_tpu.training.schedule import ScheduleConfig
+from acezero_tpu.training.trainer import MappingTrainer, TrainConfig
+
+_logger = logging.getLogger(__name__)
+
+
+class AceZeroPipeline:
+    def __init__(
+        self,
+        cfg: AceZeroConfig,
+        depth_estimator: DepthEstimator | None = None,
+        encoder_params: dict | None = None,
+    ):
+        self.cfg = cfg
+        self.out = Path(cfg.results_folder)
+        self.out.mkdir(parents=True, exist_ok=True)
+
+        use_heuristic = cfg.use_external_focal_length < 0
+        self.scene = load_scene(
+            cfg.rgb_files,
+            image_short_size=cfg.image_resolution,
+            use_heuristic_focal_length=use_heuristic,
+            external_focal_length=(None if use_heuristic else cfg.use_external_focal_length),
+            num_workers=cfg.num_decode_workers,
+        )
+        _logger.info(
+            "Loaded %d images onto a %dx%d canvas.", len(self.scene), *self.scene.canvas_hw
+        )
+
+        if encoder_params is not None:
+            self.encoder_params = encoder_params
+        elif cfg.encoder_path is not None and Path(cfg.encoder_path).exists():
+            self.encoder_params = jax.tree.map(
+                lambda x: jax.numpy.asarray(x), torch_io.load_encoder(cfg.encoder_path)
+            )
+            _logger.info("Loaded pretrained encoder from %s", cfg.encoder_path)
+        else:
+            _logger.warning(
+                "No pretrained encoder available — using random initialization. "
+                "Reconstruction quality will be substantially reduced."
+            )
+            self.encoder_params = init_encoder_params(jax.random.PRNGKey(cfg.base_seed))
+
+        self.head_cfg = HeadConfig(
+            num_head_blocks=cfg.num_head_blocks, use_homogeneous=cfg.use_homogeneous
+        )
+        self.depth_estimator = depth_estimator
+        self.depth_files = (
+            get_files_from_glob(cfg.depth_files) if cfg.depth_files is not None else None
+        )
+
+        if cfg.render_visualization:
+            from acezero_tpu.viz import ReconstructionVisualizer, VizConfig
+
+            self.visualizer = ReconstructionVisualizer(
+                VizConfig(
+                    target_path=self.out / "renderings",
+                    marker_size=cfg.render_marker_size,
+                    camera_z_offset=cfg.render_camera_z_offset,
+                    conf_threshold=cfg.registration_confidence,
+                )
+            )
+        else:
+            self.visualizer = None
+
+    # ------------------------------------------------------------- configs
+
+    def _schedule(self, iterations: int, schedule: str | None = None, lr_max: float | None = None):
+        cfg = self.cfg
+        return ScheduleConfig(
+            schedule=schedule or cfg.learning_rate_schedule,
+            iterations=iterations,
+            learning_rate_min=cfg.learning_rate_min,
+            learning_rate_max=lr_max if lr_max is not None else cfg.learning_rate_max,
+            warmup_iterations=cfg.learning_rate_warmup_iterations,
+            warmup_learning_rate=cfg.learning_rate_warmup_learning_rate,
+            cooldown_iterations=cfg.cooldown_iterations,
+            cooldown_trigger_percent=cfg.cooldown_threshold,
+        )
+
+    def _buffer_cfg(self) -> BufferConfig:
+        cfg = self.cfg
+        return BufferConfig(
+            max_buffer_size=cfg.max_training_buffer_size,
+            samples_per_image=cfg.samples_per_image,
+            max_dataset_passes=cfg.max_dataset_passes,
+            use_aug=True,
+            aug_rotation=cfg.aug_rotation,
+        )
+
+    def _base_train_cfg(self, iterations: int, use_depth: bool, refine: bool) -> TrainConfig:
+        cfg = self.cfg
+        return TrainConfig(
+            batch_size=cfg.batch_size,
+            schedule=self._schedule(iterations),
+            loss=ReproLossConfig(
+                total_iterations=iterations,
+                soft_clamp=cfg.repro_loss_soft_clamp,
+                soft_clamp_min=1.0,
+                loss_type=cfg.repro_loss_type,
+            ),
+            repro_loss_hard_clamp=cfg.repro_loss_hard_clamp,
+            pose_refinement=cfg.refinement if refine else "none",
+            pose_refinement_lr=cfg.pose_refinement_lr,
+            pose_refinement_wait=cfg.pose_refinement_wait,
+            refinement_ortho=cfg.refinement_ortho,
+            refine_calibration=cfg.refine_calibration if refine else False,
+            use_depth=use_depth,
+            iterations_output=cfg.iterations_output,
+        )
+
+    def _refit_train_cfg(self) -> TrainConfig:
+        """Final-refit recipe (reference ace_zero_util.get_refit_mapping_cmd
+        :63-109): dyntanh loss, circle schedule at lr 0.005, 25k iterations,
+        frozen poses for the first final_refit_posewait steps."""
+        cfg = self.cfg
+        return TrainConfig(
+            batch_size=cfg.batch_size,
+            schedule=self._schedule(cfg.refit_iterations, schedule="circle", lr_max=0.005),
+            loss=ReproLossConfig(
+                total_iterations=cfg.refit_iterations,
+                soft_clamp=cfg.repro_loss_soft_clamp,
+                soft_clamp_min=1.0,
+                loss_type="dyntanh",
+            ),
+            repro_loss_hard_clamp=cfg.repro_loss_hard_clamp,
+            pose_refinement=cfg.refinement,
+            pose_refinement_lr=cfg.pose_refinement_lr,
+            pose_refinement_wait=cfg.final_refit_posewait,
+            refinement_ortho=cfg.refinement_ortho,
+            refine_calibration=cfg.refine_calibration,
+            use_depth=False,
+            iterations_output=cfg.iterations_output,
+        )
+
+    def _registration_cfg(self, max_estimates: int = -1) -> RegistrationConfig:
+        cfg = self.cfg
+        return RegistrationConfig(
+            ransac=RansacConfig(
+                hypotheses=cfg.ransac_iterations,
+                max_tries=16,
+                inlier_threshold=cfg.ransac_threshold,
+                refinement_steps=cfg.refinement_steps,
+            ),
+            confidence_threshold=cfg.registration_confidence,
+            max_estimates=max_estimates,
+            frame_chunk=cfg.registration_frame_chunk,
+            base_seed=cfg.random_seed,
+        )
+
+    # --------------------------------------------------------------- seeds
+
+    def _seed_depth_canvas(self, frame_idx: int) -> np.ndarray:
+        h, w = self.scene.images.sizes[frame_idx]
+        if self.depth_files is not None:
+            depth = load_depth_file(self.depth_files[frame_idx])
+        elif self.depth_estimator is not None:
+            from PIL import Image
+
+            with Image.open(self.scene.rgb_files[frame_idx]) as img:
+                rgb = np.asarray(img.convert("RGB"))
+            depth = self.depth_estimator(rgb)
+        else:
+            raise ValueError(
+                "Seed initialization needs depth: pass depth_files or a depth_estimator."
+            )
+        return depth_to_canvas(depth, (int(h), int(w)), self.scene.canvas_hw)
+
+    def _map_seed(self, seed_idx: int, seed_value: float) -> tuple[dict, float, str]:
+        cfg = self.cfg
+        iteration_id = f"iteration0_seed{seed_idx}"
+        frame = int(seed_value * len(self.scene))
+        _logger.info("Mapping seed %d: frame %d (%s)", seed_idx, frame, self.scene.rgb_files[frame])
+
+        seed_scene = self.scene.subset(np.asarray([frame]))
+        seed_scene.poses_c2w = np.eye(4, dtype=np.float32)[None]
+        seed_scene.pose_valid = np.ones(1, bool)
+        seed_scene.depth_maps[0] = self._seed_depth_canvas(frame)
+
+        trainer = MappingTrainer(
+            seed_scene,
+            self.encoder_params,
+            self.head_cfg,
+            self._base_train_cfg(cfg.seed_iterations, use_depth=True, refine=False),
+            self._buffer_cfg(),
+            base_seed=cfg.base_seed,
+        )
+        result = trainer.train()
+        head_params = result["head_params"]
+        torch_io.save_head(self.out / f"{iteration_id}.pt", jax.device_get(head_params), self.head_cfg)
+
+        # fast seed scoring on <=1000 frames (ace_zero_util.py:242-259)
+        entries = register_frames(
+            self.encoder_params,
+            head_params,
+            self.head_cfg,
+            self.scene,
+            self._registration_cfg(max_estimates=1000),
+        )
+        write_pose_file(self.out / f"poses_{iteration_id}_fastcheck.txt", entries)
+        rate = registration_rates(
+            [e.confidence for e in entries], [cfg.registration_confidence]
+        )[0]
+        _logger.info("Seed %d registered %.1f%% of frames.", seed_idx, rate * 100)
+        return head_params, rate, iteration_id
+
+    # ----------------------------------------------------------------- run
+
+    def _register_all(
+        self, head_params: dict, iteration_id: str, focal_override: float | None
+    ) -> list[PoseFileEntry]:
+        entries = register_frames(
+            self.encoder_params,
+            head_params,
+            self.head_cfg,
+            self.scene,
+            self._registration_cfg(),
+            focal_override_orig=focal_override,
+        )
+        write_pose_file(self.out / f"poses_{iteration_id}.txt", entries)
+        if self.visualizer is not None:
+            self._render_round(head_params, iteration_id, entries)
+        return entries
+
+    def _render_round(self, head_params: dict, iteration_id: str, entries) -> None:
+        """Visualization hooks after a registration round: update the point
+        cloud from the current map, render mapping + reloc frames, persist
+        state (the reference renders per-step; we render per-round, which
+        keeps the video while staying off the training hot path)."""
+        from acezero_tpu.export.point_cloud import point_cloud_from_network
+
+        it_num = int(iteration_id.replace("iteration", "").split("_")[0] or 0) \
+            if iteration_id.startswith("iteration") and iteration_id[9:10].isdigit() else 0
+        confident = [e for e in entries if e.confidence >= self.cfg.registration_confidence]
+        if confident:
+            xyz, rgb = point_cloud_from_network(
+                self.encoder_params, head_params, self.head_cfg,
+                self.scene, confident[: min(len(confident), 64)],
+            )
+            self.visualizer.update_point_cloud(xyz, rgb)
+        for e in entries:
+            self.visualizer.record_registration(e.rgb_file, e.confidence, it_num)
+        poses = np.stack([e.pose_c2w for e in entries])
+        confs = np.asarray([e.confidence for e in entries])
+        for _ in range(8):
+            self.visualizer.render_reloc_frame(poses, confs)
+        self.visualizer.save_state(self.out / "renderings" / f"{iteration_id}_register.pkl")
+
+    def _mapping_scene_from_entries(self, entries: list[PoseFileEntry]) -> SceneData:
+        """Confidence-filtered mapping scene for the next round (the in-memory
+        analogue of `--use_ace_pose_file poses_prev.txt`)."""
+        cfg = self.cfg
+        by_file = {f: i for i, f in enumerate(self.scene.rgb_files)}
+        keep = [e for e in entries if e.confidence >= cfg.registration_confidence]
+        if not keep:
+            # Robustness beyond the reference (which would crash training on an
+            # empty dataset): fall back to the most-confident frames so the
+            # loop can keep trying to grow the map.
+            k = max(1, len(entries) // 10)
+            keep = sorted(entries, key=lambda e: -e.confidence)[:k]
+            _logger.warning(
+                "No frames above confidence %.0f — falling back to the %d most "
+                "confident (best %.0f).",
+                cfg.registration_confidence,
+                k,
+                keep[0].confidence,
+            )
+        indices = np.asarray([by_file[e.rgb_file] for e in keep])
+        sub = self.scene.subset(indices)
+        sub.poses_c2w = np.stack([e.pose_c2w for e in keep]).astype(np.float32)
+        sub.pose_valid = np.ones(len(keep), bool)
+        sub.focals_orig = np.asarray([e.focal_length for e in keep], np.float32)
+        sub.focals_canvas = sub.focals_orig * sub.images.scale_factors
+        return sub
+
+    def run(self) -> dict:
+        cfg = self.cfg
+        t_start = time.time()
+
+        # ---------------- seed stage (or seed network) --------------------
+        if cfg.seed_network is not None:
+            iteration_id = Path(cfg.seed_network).stem
+            _logger.info("Starting from seed network %s", cfg.seed_network)
+            _, head_params = torch_io.load_head(cfg.seed_network)
+            head_params = jax.tree.map(jax.numpy.asarray, head_params)
+        else:
+            np.random.seed(cfg.random_seed)
+            seeds = np.random.uniform(size=cfg.try_seeds)
+            _logger.info("Trying seeds: %s", seeds)
+            results = [self._map_seed(i, s) for i, s in enumerate(seeds)]
+            rates = [r[1] for r in results]
+            best = int(np.argmax(rates))
+            head_params, _, iteration_id = results[best]
+            _logger.info(
+                "Selected seed %s with registration rate %.1f%%", iteration_id, rates[best] * 100
+            )
+
+        # register everything against the seed map (heuristic/external focal)
+        entries = self._register_all(head_params, iteration_id, focal_override=None)
+        max_rate = registration_rates(
+            [e.confidence for e in entries], [cfg.registration_confidence]
+        )[0]
+        _logger.info("Seed map registered %.1f%% of all frames.", max_rate * 100)
+
+        scheduled_to_stop_early = False
+        focal_estimate: float | None = None
+        iteration = 0
+
+        # ------------------------- main loop ------------------------------
+        for iteration in range(1, cfg.iterations_max):
+            iteration_id = f"iteration{iteration}"
+            refit_round = scheduled_to_stop_early and cfg.final_refit
+
+            mapping_scene = self._mapping_scene_from_entries(entries)
+            _logger.info(
+                "%s: mapping on %d confident frames%s",
+                iteration_id,
+                len(mapping_scene),
+                " (final refit)" if refit_round else "",
+            )
+
+            if refit_round:
+                train_cfg = self._refit_train_cfg()
+                init_head = None  # fresh network (ace_zero.py:269-272)
+            else:
+                train_cfg = self._base_train_cfg(cfg.iterations, use_depth=False, refine=True)
+                warm = cfg.warmstart and (iteration > 1 or cfg.seed_network is not None)
+                init_head = head_params if warm else None
+
+            trainer = MappingTrainer(
+                mapping_scene,
+                self.encoder_params,
+                self.head_cfg,
+                train_cfg,
+                self._buffer_cfg(),
+                head_params=init_head,
+                base_seed=cfg.base_seed,
+            )
+            result = trainer.train()
+            head_params = result["head_params"]
+
+            torch_io.save_head(
+                self.out / f"{iteration_id}.pt", jax.device_get(head_params), self.head_cfg
+            )
+            # preliminary poses: refined w2c with confidence = inf
+            focal_estimate = result["focal_orig"] or float(mapping_scene.focals_orig[0])
+            prelim = [
+                PoseFileEntry(
+                    rgb_file=mapping_scene.rgb_files[i],
+                    pose_w2c=np.vstack([result["poses_w2c"][i], [0, 0, 0, 1]]),
+                    focal_length=focal_estimate,
+                    confidence=float("inf"),
+                )
+                for i in range(len(mapping_scene))
+            ]
+            write_pose_file(self.out / f"poses_{iteration_id}_preliminary.txt", prelim)
+
+            entries = self._register_all(head_params, iteration_id, focal_override=focal_estimate)
+            rate = registration_rates(
+                [e.confidence for e in entries], [cfg.registration_confidence]
+            )[0]
+            _logger.info("%s: registered %.1f%% of all frames.", iteration_id, rate * 100)
+
+            if scheduled_to_stop_early:
+                break
+
+            if (rate >= cfg.registration_threshold) or (
+                (rate - max_rate) < cfg.relative_registration_threshold
+            ):
+                if cfg.final_refine:
+                    _logger.info("Stopping criteria met — one final mapping round.")
+                    scheduled_to_stop_early = True
+                else:
+                    break
+            if iteration >= cfg.iterations_max - 2:
+                scheduled_to_stop_early = True
+            max_rate = max(rate, max_rate)
+
+        # ------------------------- outputs --------------------------------
+        if self.visualizer is not None:
+            _logger.info("Rendering final sweep.")
+            poses = np.stack([e.pose_c2w for e in entries])
+            first_it = np.asarray(
+                [self.visualizer.registration_history.get(e.rgb_file, iteration) for e in entries],
+                np.float32,
+            )
+            self.visualizer.render_final_sweep(poses, first_it)
+            self.visualizer.to_video(self.out / "reconstruction.mp4")
+
+        total_time = time.time() - t_start
+        final_pose_file = self.out / f"poses_{iteration_id}.txt"
+        shutil.copy(final_pose_file, self.out / "poses_final.txt")
+
+        rates = registration_rates([e.confidence for e in entries], [500, 1000, 2000, 4000])
+        report = (
+            "Time (min) | Iterations | Reg. Rate @500 | @1000 | @2000 | @4000\n"
+            f"{total_time / 60:.1f} {iteration} "
+            f"{rates[0] * 100:.1f}% {rates[1] * 100:.1f}% {rates[2] * 100:.1f}% {rates[3] * 100:.1f}%\n"
+        )
+        _logger.info(report)
+
+        if cfg.export_point_cloud:
+            from acezero_tpu.export.point_cloud import export_point_cloud_from_network
+
+            export_point_cloud_from_network(
+                self.out / "pc_final.ply",
+                self.encoder_params,
+                head_params,
+                self.head_cfg,
+                self.scene,
+                entries,
+                dense=cfg.dense_point_cloud,
+            )
+
+        return {
+            "entries": entries,
+            "head_params": head_params,
+            "focal_estimate": focal_estimate,
+            "iterations": iteration,
+            "registration_rates": rates,
+            "time_seconds": total_time,
+            "report": report,
+            "pose_file": self.out / "poses_final.txt",
+        }

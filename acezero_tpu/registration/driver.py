@@ -1,0 +1,152 @@
+"""Registration stage driver: relocalize every frame against a scene map.
+
+In-process, batched equivalent of the reference register_mapping.py CLI
+(/root/reference/register_mapping.py:199-276): normalized (unaugmented)
+frames go through encoder + head to scene coordinates, then through the
+vectorized RANSAC registrar — encoder, head, and registrar fused into one
+jitted program per frame chunk, instead of fp16 forward + per-frame C++
+RANSAC on the CPU.
+
+Outputs per frame: cam-to-world pose, inlier-count confidence, and the
+original-pixel focal length — exactly the pose-file currency of the ACE0
+loop (the caller writes `poses_<session>.txt` with the *inverted* pose,
+reference register_mapping.py:273-276).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acezero_tpu.data.augment import normalize_images
+from acezero_tpu.data.scene import SceneData
+from acezero_tpu.geometry.projection import get_pixel_grid
+from acezero_tpu.io.pose_files import PoseFileEntry
+from acezero_tpu.models.head import HeadConfig, head_apply_image
+from acezero_tpu.models.encoder import encoder_apply
+from acezero_tpu.registration.ransac import RansacConfig, estimate_pose
+
+_logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class RegistrationConfig:
+    ransac: RansacConfig = field(default_factory=lambda: RansacConfig(hypotheses=64, max_tries=1000))
+    confidence_threshold: float = 1000.0
+    max_estimates: int = -1
+    frame_chunk: int = 16
+    base_seed: int = 1305
+
+
+@partial(jax.jit, static_argnames=("head_cfg", "ransac_cfg", "subsample"))
+def _register_chunk(
+    encoder_params,
+    head_params,
+    head_cfg: HeadConfig,
+    images_u8,  # (B, H, W)
+    sizes,  # (B, 2)
+    focals,  # (B,) canvas-pixel focals
+    keys,  # (B, 2) PRNG keys
+    ransac_cfg: RansacConfig,
+    subsample: int = 8,
+):
+    B, H, W = images_u8.shape
+    images = normalize_images(images_u8)
+
+    # padding is zero-gray; zero it explicitly like the training path
+    hh = sizes[:, 0].astype(jnp.float32)[:, None, None]
+    ww = sizes[:, 1].astype(jnp.float32)[:, None, None]
+    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    mask = (yy >= (H - hh) / 2) & (yy < (H + hh) / 2) & (xx >= (W - ww) / 2) & (xx < (W + ww) / 2)
+    images = jnp.where(mask[..., None], images, 0.0)
+
+    feats = encoder_apply(encoder_params, images)
+    coords = head_apply_image(head_params, head_cfg, feats)  # (B, h, w, 3)
+
+    off = subsample // 2
+    mask_lr = mask[:, off::subsample, off::subsample]
+
+    h, w = coords.shape[1:3]
+    grid = get_pixel_grid(h, w, subsample)
+
+    ppx = jnp.full((B,), W / 2.0, jnp.float32)
+    ppy = jnp.full((B,), H / 2.0, jnp.float32)
+
+    return jax.vmap(
+        lambda k, sc, m, f, px_, py_: estimate_pose(k, sc, m, grid, f, px_, py_, ransac_cfg)
+    )(keys, coords, mask_lr, focals, ppx, ppy)
+
+
+def register_frames(
+    encoder_params,
+    head_params,
+    head_cfg: HeadConfig,
+    scene: SceneData,
+    cfg: RegistrationConfig,
+    focal_override_orig: float | None = None,
+) -> list[PoseFileEntry]:
+    """Register every frame of the scene; returns pose-file entries.
+
+    focal_override_orig: optional original-pixel focal length replacing the
+    scene's per-frame focals (the orchestrator passes the refined estimate,
+    reference ace_zero.py:296-305).
+    """
+    n = len(scene)
+    order = np.random.default_rng(cfg.base_seed).permutation(n)
+    if cfg.max_estimates > 0:
+        order = order[: cfg.max_estimates]
+
+    if focal_override_orig is not None:
+        focals_canvas = focal_override_orig * scene.images.scale_factors
+        focals_orig = np.full(n, focal_override_orig, np.float32)
+    else:
+        focals_canvas = scene.focals_canvas
+        focals_orig = scene.focals_orig
+
+    key = jax.random.PRNGKey(cfg.base_seed)
+    images = scene.images.canvases
+    sizes = scene.images.sizes
+
+    chunk = cfg.frame_chunk
+    entries: list[PoseFileEntry] = []
+    t0 = time.time()
+    for c0 in range(0, len(order), chunk):
+        idx = order[c0 : c0 + chunk]
+        pad = chunk - len(idx)
+        idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, chunk)
+        out = _register_chunk(
+            encoder_params,
+            head_params,
+            head_cfg,
+            jnp.asarray(images[idx_p]),
+            jnp.asarray(sizes[idx_p]),
+            jnp.asarray(focals_canvas[idx_p], jnp.float32),
+            keys,
+            cfg.ransac,
+        )
+        poses_c2w = np.asarray(out["pose_c2w"], np.float64)
+        confs = np.asarray(out["inlier_count"])
+        for j, i in enumerate(idx):
+            pose_w2c = np.linalg.inv(poses_c2w[j])
+            entries.append(
+                PoseFileEntry(
+                    rgb_file=scene.rgb_files[i],
+                    pose_w2c=pose_w2c,
+                    focal_length=float(focals_orig[i]),
+                    confidence=float(confs[j]),
+                )
+            )
+    dt = time.time() - t0
+    _logger.info(
+        "Registered %d frames in %.1fs (%.1f frames/s)", len(entries), dt, len(entries) / max(dt, 1e-9)
+    )
+    return entries

@@ -1,0 +1,98 @@
+"""End-to-end reconstruction on a synthetic scene written to disk.
+
+Exercises every layer at once: scene loading from globs, seed mapping with
+depth files, registration of all frames, the iterate-and-stop loop, artifact
+emission (head .pt checkpoints + byte-compatible pose files), and the final
+stats — SURVEY.md §4 recommendation 3. With a random encoder the absolute
+accuracy is limited, so assertions target mechanics and formats.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from synthetic import render_room_scene
+
+from acezero_tpu.evalpose import evaluate_poses
+from acezero_tpu.io.pose_files import read_pose_file
+from acezero_tpu.reconstruct import AceZeroConfig, AceZeroPipeline
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("scene")
+    data = render_room_scene(10, h=96, w=128)
+    for i in range(10):
+        Image.fromarray(data["images_u8"][i]).save(out / f"frame_{i:03d}.png")
+        np.save(out / f"frame_{i:03d}_depth.npy", data["depth"][i])
+        np.savetxt(out / f"frame_{i:03d}_pose.txt", data["poses_c2w"][i])
+    return out, data
+
+
+def test_full_reconstruction_loop(scene_dir, tmp_path):
+    scene_path, data = scene_dir
+    cfg = AceZeroConfig(
+        rgb_files=str(scene_path / "*.png"),
+        results_folder=tmp_path / "out",
+        depth_files=str(scene_path / "*_depth.npy"),
+        use_external_focal_length=data["focal"],
+        try_seeds=2,
+        seed_iterations=250,
+        iterations=350,
+        iterations_max=3,
+        learning_rate_schedule="constant",
+        learning_rate_min=0.003,
+        max_training_buffer_size=16384,
+        samples_per_image=512,
+        max_dataset_passes=3,
+        batch_size=512,
+        num_head_blocks=0,
+        ransac_iterations=16,
+        registration_confidence=5,
+        registration_frame_chunk=4,
+        refinement_steps=3,
+        final_refit=False,
+    )
+    pipeline = AceZeroPipeline(cfg)
+    result = pipeline.run()
+
+    out = tmp_path / "out"
+    # artifacts: seed heads, iteration heads, pose files in reference format
+    assert (out / "iteration0_seed0.pt").exists()
+    assert (out / "iteration0_seed1.pt").exists()
+    assert (out / "poses_final.txt").exists()
+    assert (out / "iteration1.pt").exists()
+    assert (out / "poses_iteration1_preliminary.txt").exists()
+
+    entries = read_pose_file(out / "poses_final.txt")
+    assert len(entries) == 10
+    line = (out / "poses_final.txt").read_text().splitlines()[0]
+    assert len(line.split()) == 10
+
+    # the .pt head checkpoint must be loadable through the torch round trip
+    from acezero_tpu.models import torch_io
+
+    head_cfg, head_params = torch_io.load_head(out / "iteration1.pt")
+    assert head_cfg.num_head_blocks == 0
+
+    assert result["iterations"] >= 1
+    assert len(result["registration_rates"]) == 4
+    assert "Reg. Rate" in result["report"]
+
+    # pose evaluation machinery runs end to end on the outputs
+    gt = [data["poses_c2w"][i].astype(np.float64) for i in range(10)]
+    errors = evaluate_poses(entries, gt, alignment_conf_threshold=cfg.registration_confidence)
+    assert errors.rot_errors_deg.shape == (10,)
+
+
+def test_pipeline_requires_depth_source(scene_dir, tmp_path):
+    scene_path, data = scene_dir
+    cfg = AceZeroConfig(
+        rgb_files=str(scene_path / "*.png"),
+        results_folder=tmp_path / "out2",
+        use_external_focal_length=data["focal"],
+        try_seeds=1,
+    )
+    pipeline = AceZeroPipeline(cfg)
+    with pytest.raises(ValueError, match="depth"):
+        pipeline._seed_depth_canvas(0)

@@ -123,6 +123,7 @@ def config_from_args(args: argparse.Namespace) -> AceZeroConfig:
         repro_loss_hard_clamp=args.repro_loss_hard_clamp,
         repro_loss_soft_clamp=args.repro_loss_soft_clamp,
         aug_rotation=args.aug_rotation,
+        training_buffer_cpu=args.training_buffer_cpu,
         ransac_iterations=args.ransac_iterations,
         ransac_threshold=args.ransac_threshold,
         render_visualization=args.render_visualization,

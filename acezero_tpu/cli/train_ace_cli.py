@@ -189,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
         refine_calibration=args.refine_calibration,
         refine_calibration_lr=args.refine_calibration_lr,
         use_depth=use_depth,
+        buffer_host_spill=args.training_buffer_cpu,
         iterations_output=args.iterations_output,
     )
     buffer_cfg = BufferConfig(

@@ -83,7 +83,18 @@ def head_apply_flat(
 
     sc = relu(dense(res, params["fc1"], compute_dtype))
     sc = relu(dense(sc, params["fc2"], compute_dtype))
-    sc = dense(sc, params["fc3"], compute_dtype).astype(jnp.float32)
+    return head_epilogue(params, cfg, sc, compute_dtype)
+
+
+def head_epilogue(
+    params: dict, cfg: HeadConfig, hidden: jax.Array, compute_dtype=jnp.bfloat16
+) -> jax.Array:
+    """Final projection + homogeneous dehomogenization + scene-mean offset.
+
+    Split out so the Pallas fused chain (acezero_tpu/ops/fused_head.py) can
+    reuse the exact epilogue semantics.
+    """
+    sc = dense(hidden, params["fc3"], compute_dtype).astype(jnp.float32)
 
     if cfg.use_homogeneous:
         max_inv_scale = 1.0 / cfg.homogeneous_max_scale

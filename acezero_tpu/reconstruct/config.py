@@ -62,6 +62,7 @@ class AceZeroConfig:
     repro_loss_hard_clamp: float = 1000.0
     repro_loss_soft_clamp: float = 50.0
     aug_rotation: float = 15.0
+    training_buffer_cpu: bool = False
     iterations: int = 25000  # per-round cap (train_ace.py default)
     batch_size: int = 5120
     max_training_buffer_size: int = 8_000_000

@@ -156,6 +156,7 @@ class AceZeroPipeline:
             refinement_ortho=cfg.refinement_ortho,
             refine_calibration=cfg.refine_calibration if refine else False,
             use_depth=use_depth,
+            buffer_host_spill=cfg.training_buffer_cpu,
             iterations_output=cfg.iterations_output,
         )
 
@@ -180,6 +181,7 @@ class AceZeroPipeline:
             refinement_ortho=cfg.refinement_ortho,
             refine_calibration=cfg.refine_calibration,
             use_depth=False,
+            buffer_host_spill=cfg.training_buffer_cpu,
             iterations_output=cfg.iterations_output,
         )
 

@@ -143,6 +143,7 @@ def fill_training_buffer(
     cfg: BufferConfig,
     target_maps: np.ndarray | None = None,
     devices_pad: int = 1,
+    host_spill: bool = False,
 ):
     """Fill the patch buffer from a scene's canvas images.
 
@@ -168,14 +169,26 @@ def fill_training_buffer(
     feat_dim = encoder_params["res2_conv3"]["w"].shape[-1]
     S = cfg.samples_per_image
 
-    buffer = {
-        "features": jnp.zeros((total, feat_dim), jnp.bfloat16),
-        "target_px": jnp.zeros((total, 2), jnp.float32),
-        "target_crds": jnp.zeros((total, 3), jnp.float32),
-        "img_idx": jnp.zeros((total,), jnp.int32),
-        "theta": jnp.zeros((total,), jnp.float32),
-        "scale": jnp.ones((total,), jnp.float32),
-    }
+    if host_spill:
+        # the `--training_buffer_cpu` equivalent (reference ace_trainer.py:52,
+        # 330-340): rows spill to host RAM; training streams batches back.
+        buffer = {
+            "features": np.zeros((total, feat_dim), np.float16),
+            "target_px": np.zeros((total, 2), np.float32),
+            "target_crds": np.zeros((total, 3), np.float32),
+            "img_idx": np.zeros((total,), np.int32),
+            "theta": np.zeros((total,), np.float32),
+            "scale": np.ones((total,), np.float32),
+        }
+    else:
+        buffer = {
+            "features": jnp.zeros((total, feat_dim), jnp.bfloat16),
+            "target_px": jnp.zeros((total, 2), jnp.float32),
+            "target_crds": jnp.zeros((total, 3), jnp.float32),
+            "img_idx": jnp.zeros((total,), jnp.int32),
+            "theta": jnp.zeros((total,), jnp.float32),
+            "scale": jnp.ones((total,), jnp.float32),
+        }
 
     images_dev = jnp.asarray(images_u8)
     sizes_dev = jnp.asarray(sizes)
@@ -211,7 +224,12 @@ def fill_training_buffer(
             if n_rows < chunk * S:
                 rows = jax.tree.map(lambda r: r[:n_rows], rows)
                 done = True
-            buffer = _write_rows(buffer, rows, row)
+            if host_spill:
+                host_rows = jax.device_get(rows)
+                for k, v in host_rows.items():
+                    buffer[k][row : row + n_rows] = np.asarray(v)[:n_rows]
+            else:
+                buffer = _write_rows(buffer, rows, row)
             row += n_rows
             if row >= total:
                 done = True

@@ -78,6 +78,8 @@ class TrainConfig:
     refine_calibration: bool = False
     refine_calibration_lr: float = 0.001
     use_depth: bool = False
+    use_fused_head: bool = False  # Pallas fused-MLP kernel for the head chain
+    buffer_host_spill: bool = False  # `--training_buffer_cpu` equivalent
     chunk_steps: int = 250
     iterations_output: int = 500
 
@@ -134,7 +136,17 @@ def _loss_fn(
 ):
     head_params, pose_params, focal_g = trainable
 
-    pred = head_apply_flat(head_params, head_cfg, batch["features"])  # (B, 3) f32
+    if cfg.use_fused_head and "head_skip" not in head_params:
+        from acezero_tpu.models.head import head_epilogue
+        from acezero_tpu.ops.fused_head import fused_head_mlp, head_params_to_stack
+
+        w_stack, b_stack, res_after = head_params_to_stack(head_params, head_cfg)
+        hidden = fused_head_mlp(
+            batch["features"].astype(jnp.bfloat16), w_stack, b_stack, res_after
+        )
+        pred = head_epilogue(head_params, head_cfg, hidden)  # (B, 3) f32
+    else:
+        pred = head_apply_flat(head_params, head_cfg, batch["features"])  # (B, 3) f32
     B = pred.shape[0]
 
     w2c_rows = ctx["poses_w2c"][batch["img_idx"]]  # (B, 3, 4) original poses
@@ -185,7 +197,7 @@ def _loss_fn(
     return loss, {"batch_inliers": batch_inliers, "focal": f_ref[0] / jnp.maximum(batch["scale"][0], 1e-9)}
 
 
-@partial(jax.jit, static_argnames=("cfg", "head_cfg", "num_steps"))
+@partial(jax.jit, static_argnames=("cfg", "head_cfg", "num_steps", "streamed"))
 def _train_chunk(
     state: TrainState,
     buffer: dict,
@@ -193,15 +205,19 @@ def _train_chunk(
     cfg: TrainConfig,
     head_cfg: HeadConfig,
     num_steps: int,
+    streamed: bool = False,
 ):
-    M = buffer["features"].shape[0]
+    """One jitted chunk of training steps.
 
-    def step(carry: TrainState, _):
+    `streamed=False`: `buffer` holds the full (M, ...) device buffer and each
+    step gathers a random batch. `streamed=True` (the host-spill path):
+    `buffer` holds pre-gathered (num_steps, batch, ...) arrays shipped from
+    host RAM, and step i consumes slice i.
+    """
+
+    def _one_step(carry: TrainState, batch):
         active = carry.iteration < carry.sched.max_iterations
-
-        key, k_batch = jax.random.split(carry.key)
-        idx = jax.random.randint(k_batch, (cfg.batch_size,), 0, M)
-        batch = {k: v[idx] for k, v in buffer.items()}
+        key = carry.key
 
         trainable = (carry.head_params, carry.pose_params, carry.focal_g)
         (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
@@ -260,6 +276,17 @@ def _train_chunk(
             "active": active,
         }
         return new_state, stats
+
+    if streamed:
+        return jax.lax.scan(_one_step, state, buffer, length=num_steps)
+
+    M = buffer["features"].shape[0]
+
+    def step(carry: TrainState, _):
+        key, k_batch = jax.random.split(carry.key)
+        idx = jax.random.randint(k_batch, (cfg.batch_size,), 0, M)
+        batch = {k: v[idx] for k, v in buffer.items()}
+        return _one_step(carry._replace(key=key), batch)
 
     return jax.lax.scan(step, state, None, length=num_steps)
 
@@ -337,6 +364,7 @@ class MappingTrainer:
             self.scene.images.sizes,
             self.buffer_cfg,
             target_maps=self._seed_target_maps(),
+            host_spill=self.cfg.buffer_host_spill,
         )
         n_rows = buffer["features"].shape[0]
         fill_time = time.time() - t0
@@ -366,10 +394,24 @@ class MappingTrainer:
 
         train_start = time.time()
         last_logged = 0
+        spill_rng = np.random.default_rng(int(jax.random.randint(k_train, (), 0, 2**31 - 1)))
         while True:
-            state, stats = _train_chunk(
-                state, buffer, self.ctx, cfg, self.head_cfg, cfg.chunk_steps
-            )
+            if cfg.buffer_host_spill:
+                idx = spill_rng.integers(0, n_rows, (cfg.chunk_steps, cfg.batch_size))
+                batches = {
+                    k: jnp.asarray(v[idx]).astype(
+                        jnp.bfloat16 if k == "features" else v.dtype
+                    )
+                    for k, v in buffer.items()
+                }
+                state, stats = _train_chunk(
+                    state, batches, self.ctx, cfg, self.head_cfg, cfg.chunk_steps,
+                    streamed=True,
+                )
+            else:
+                state, stats = _train_chunk(
+                    state, buffer, self.ctx, cfg, self.head_cfg, cfg.chunk_steps
+                )
             it = int(state.iteration)
             if it - last_logged >= cfg.iterations_output or it >= int(state.sched.max_iterations):
                 active = np.asarray(stats["active"])

@@ -184,3 +184,27 @@ def test_early_stop_shortens_training():
     )
     result = trainer.train()
     assert 140 <= result["iterations"] <= 160  # warmup 50 + buffer fill lag + cooldown 100
+
+
+def test_host_spill_buffer_training():
+    """The --training_buffer_cpu equivalent: buffer in host RAM, batches
+    streamed to device per chunk."""
+    data = render_room_scene(2, h=96, w=128)
+    scene = _scene_from_synthetic(data, with_depth_idx=[0])
+    head_cfg = HeadConfig(num_head_blocks=0)
+    cfg = TrainConfig(
+        batch_size=256,
+        schedule=ScheduleConfig(schedule="constant", iterations=60, learning_rate_min=0.003),
+        loss=ReproLossConfig(loss_type="tanh", total_iterations=60),
+        use_depth=True,
+        buffer_host_spill=True,
+        chunk_steps=20,
+    )
+    buf_cfg = BufferConfig(
+        max_buffer_size=1024, samples_per_image=256, max_dataset_passes=2, image_chunk=2
+    )
+    trainer = MappingTrainer(
+        scene, init_encoder_params(jax.random.PRNGKey(6)), head_cfg, cfg, buf_cfg
+    )
+    result = trainer.train()
+    assert result["iterations"] == 60

@@ -63,17 +63,57 @@ def decode_to_canvas(
     short_size: int = 480,
     canvas_hw: tuple[int, int] | None = None,
     num_workers: int = 16,
+    use_native: bool = True,
 ) -> DecodedImages:
     """Decode all images and center them on a shared canvas.
 
     The canvas defaults to the max resized extent over the dataset, rounded
     up to a multiple of 8 (the encoder stride) so the subsampled feature grid
     tiles it exactly.
+
+    The grayscale/resize/placement pass runs through the native OpenMP
+    pipeline (native/canvas.cpp) when a compiler is available, with a PIL
+    fallback; decoding itself stays PIL (threaded — PIL releases the GIL).
     """
+    n = len(paths)
+
+    def _load_raw(p):
+        with Image.open(p) as img:
+            return np.asarray(img)
+
+    native = None
+    if use_native:
+        from acezero_tpu.data.native import get_lib
+
+        native = get_lib()
+
+    if native is not None:
+        with _futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
+            raws = list(ex.map(_load_raw, paths))
+        orig_sizes = np.array([r.shape[:2] for r in raws], np.int32)
+        scales = short_size / orig_sizes.min(axis=1).astype(np.float32)
+        sizes = np.round(orig_sizes * scales[:, None]).astype(np.int32)
+
+        if canvas_hw is None:
+            hc = _round_up(int(sizes[:, 0].max()), 8)
+            wc = _round_up(int(sizes[:, 1].max()), 8)
+        else:
+            hc, wc = canvas_hw
+
+        if (sizes[:, 0] <= hc).all() and (sizes[:, 1] <= wc).all():
+            from acezero_tpu.data.native import gray_resize_center_batch
+
+            canvases = gray_resize_center_batch(raws, sizes, (hc, wc))
+            if canvases is not None:
+                return DecodedImages(
+                    canvases=canvases, sizes=sizes, orig_sizes=orig_sizes,
+                    scale_factors=scales,
+                )
+        # fall through to the PIL path (oversized content or native failure)
+
     with _futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
         decoded = list(ex.map(lambda p: _decode_one(p, short_size), paths))
 
-    n = len(decoded)
     sizes = np.array([d[0].shape for d in decoded], np.int32)
     orig_sizes = np.array([d[1] for d in decoded], np.int32)
     scales = np.array([d[2] for d in decoded], np.float32)

@@ -50,6 +50,7 @@ from acezero_tpu.training.buffer import BufferConfig
 from acezero_tpu.training.loss import ReproLossConfig
 from acezero_tpu.training.schedule import ScheduleConfig
 from acezero_tpu.training.trainer import MappingTrainer, TrainConfig
+from acezero_tpu.utils.profiling import stage, stage_report
 
 _logger = logging.getLogger(__name__)
 
@@ -237,7 +238,8 @@ class AceZeroPipeline:
             self._buffer_cfg(),
             base_seed=cfg.base_seed,
         )
-        result = trainer.train()
+        with stage("seed_mapping", trace=True):
+            result = trainer.train()
         head_params = result["head_params"]
         torch_io.save_head(self.out / f"{iteration_id}.pt", jax.device_get(head_params), self.head_cfg)
 
@@ -261,14 +263,15 @@ class AceZeroPipeline:
     def _register_all(
         self, head_params: dict, iteration_id: str, focal_override: float | None
     ) -> list[PoseFileEntry]:
-        entries = register_frames(
-            self.encoder_params,
-            head_params,
-            self.head_cfg,
-            self.scene,
-            self._registration_cfg(),
-            focal_override_orig=focal_override,
-        )
+        with stage("registration", trace=True):
+            entries = register_frames(
+                self.encoder_params,
+                head_params,
+                self.head_cfg,
+                self.scene,
+                self._registration_cfg(),
+                focal_override_orig=focal_override,
+            )
         write_pose_file(self.out / f"poses_{iteration_id}.txt", entries)
         if self.visualizer is not None:
             self._render_round(head_params, iteration_id, entries)
@@ -388,7 +391,8 @@ class AceZeroPipeline:
                 head_params=init_head,
                 base_seed=cfg.base_seed,
             )
-            result = trainer.train()
+            with stage("mapping", trace=True):
+                result = trainer.train()
             head_params = result["head_params"]
 
             torch_io.save_head(
@@ -450,6 +454,7 @@ class AceZeroPipeline:
             f"{rates[0] * 100:.1f}% {rates[1] * 100:.1f}% {rates[2] * 100:.1f}% {rates[3] * 100:.1f}%\n"
         )
         _logger.info(report)
+        _logger.info("Stage breakdown:\n%s", stage_report())
 
         if cfg.export_point_cloud:
             from acezero_tpu.export.point_cloud import export_point_cloud_from_network

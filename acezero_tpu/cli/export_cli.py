@@ -32,8 +32,11 @@ def point_cloud_main(argv: list[str] | None = None) -> int:
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     p.add_argument("output_file", type=Path)
-    p.add_argument("--network", type=Path, required=True)
-    p.add_argument("--pose_file", type=Path, required=True)
+    p.add_argument("--visualization_buffer", type=Path, default=None,
+                   help="export directly from a saved visualizer state pickle "
+                        "instead of running network inference")
+    p.add_argument("--network", type=Path, default=None)
+    p.add_argument("--pose_file", type=Path, default=None)
     p.add_argument("--encoder_path", type=Path, default=None)
     p.add_argument("--rgb_files", type=str, default=None,
                    help="optional glob; defaults to the files named in the pose file")
@@ -43,6 +46,29 @@ def point_cloud_main(argv: list[str] | None = None) -> int:
     p.add_argument("--filter_depth", type=float, default=100.0)
     p.add_argument("--convention", type=str, default="opencv", choices=["opencv", "opengl"])
     args = p.parse_args(argv)
+
+    if args.visualization_buffer is not None:
+        # reference export_point_cloud.py --visualization_buffer path: dump
+        # the accumulated visualizer cloud without re-running the network
+        import pickle
+
+        import numpy as np
+
+        from acezero_tpu.io.ply import write_ply_points
+
+        with open(args.visualization_buffer, "rb") as f:
+            state = pickle.load(f)
+        xyz = np.asarray(state["cloud_xyz"], np.float32)
+        rgb = (np.asarray(state["cloud_rgb"]) * 255).clip(0, 255).astype(np.uint8)
+        if args.convention == "opengl":
+            xyz = xyz.copy()
+            xyz[:, 1:] = -xyz[:, 1:]
+        write_ply_points(args.output_file, xyz, rgb)
+        _logger.info("Exported %d buffered points to %s", xyz.shape[0], args.output_file)
+        return 0
+
+    if args.network is None or args.pose_file is None:
+        raise SystemExit("--network and --pose_file are required (or --visualization_buffer)")
 
     entries = read_pose_file(args.pose_file, confidence_threshold=args.pose_file_conf_threshold)
     scene = load_scene(

@@ -52,7 +52,9 @@ class PretrainConfig:
     image_w: int = 256
     steps: int = 4000
     batch_images: int = 8
-    learning_rate: float = 0.002
+    learning_rate: float = 0.002  # head learning rate
+    encoder_lr_scale: float = 0.1  # encoder trains slower than the heads
+    encoder_weight_decay: float = 0.0  # decay on a dying-ReLU path kills channels
     warmup_steps: int = 200
     head_blocks: int = 0
     coord_loss_weight: float = 1.0
@@ -162,7 +164,19 @@ def _pretrain_chunk(params, opt_state, data, key, step0, cfg: PretrainConfig, he
         )
         lr = _lr_at(cfg, step0 + i)
         finite = jnp.isfinite(loss)
-        params, opt_state = adamw_update(params, grads, opt_state, lr, enabled=finite)
+        # split updates: heads learn fast; the shared encoder updates gently
+        # and without weight decay (decayed dead-ReLU channels never recover)
+        enc_opt, head_opt = opt_state
+        enc_params, enc_opt = adamw_update(
+            params["encoder"], grads["encoder"], enc_opt,
+            lr * cfg.encoder_lr_scale, weight_decay=cfg.encoder_weight_decay,
+            enabled=finite,
+        )
+        head_params, head_opt = adamw_update(
+            params["heads"], grads["heads"], head_opt, lr, enabled=finite
+        )
+        params = {"encoder": enc_params, "heads": head_params}
+        opt_state = (enc_opt, head_opt)
         return (params, opt_state, key), {"loss": loss, "coord_l2": l2, "repro": rp}
 
     (params, opt_state, key), stats = jax.lax.scan(
@@ -207,7 +221,7 @@ def pretrain_encoder(
         "encoder": init_encoder_params(k_enc),
         "heads": _stack_heads(jax.random.split(k_heads, cfg.num_scenes), head_cfg, means),
     }
-    opt_state = adamw_init(params)
+    opt_state = (adamw_init(params["encoder"]), adamw_init(params["heads"]))
 
     step = 0
     history = []

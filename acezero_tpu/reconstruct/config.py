@@ -29,6 +29,7 @@ class AceZeroConfig:
     refit_iterations: int = 25000
     registration_confidence: int = 500
     try_seeds: int = 5
+    seed_parallel: bool = True  # train all seed maps as one vmapped program
     seed_iterations: int = 10000
     seed_network: Path | None = None
     warmstart: bool = True

@@ -258,6 +258,116 @@ class AceZeroPipeline:
         _logger.info("Seed %d registered %.1f%% of frames.", seed_idx, rate * 100)
         return head_params, rate, iteration_id
 
+    def _map_seeds_parallel(self, seeds: np.ndarray) -> list[tuple[dict, float, str]]:
+        """Train all candidate seed maps simultaneously (one vmapped program).
+
+        TPU-idiomatic replacement for the reference's joblib process pool
+        over seeds (ace_zero.py:184-196): S tiny maps (1-image buffers, ~4MB
+        heads) batch perfectly; wall-clock ~= a single seed mapping.
+        """
+        import jax.numpy as jnp
+
+        from acezero_tpu.training.buffer import fill_training_buffer
+        from acezero_tpu.training.optim import adamw_init
+        from acezero_tpu.training.schedule import init_schedule
+        from acezero_tpu.training.trainer import (
+            TrainState,
+            _train_chunk_vmapped,
+        )
+        from acezero_tpu.models.head import init_head_params
+        from acezero_tpu.data.depth import seed_scene_coordinates
+
+        cfg = self.cfg
+        train_cfg = self._base_train_cfg(cfg.seed_iterations, use_depth=True, refine=False)
+        buffer_cfg = self._buffer_cfg()
+        S = len(seeds)
+        frames = [int(s * len(self.scene)) for s in seeds]
+
+        key = jax.random.PRNGKey(cfg.base_seed)
+        buffers, ctxs, states = [], [], []
+        hc, wc = self.scene.canvas_hw
+        for si, frame in enumerate(frames):
+            depth_canvas = self._seed_depth_canvas(frame)
+            target_map = seed_scene_coordinates(
+                depth_canvas, float(self.scene.focals_canvas[frame]), np.eye(4)
+            )[None]
+            key, k_fill, k_head, k_train = jax.random.split(key, 4)
+            buffers.append(
+                fill_training_buffer(
+                    k_fill,
+                    self.encoder_params,
+                    self.scene.images.canvases[frame : frame + 1],
+                    self.scene.images.sizes[frame : frame + 1],
+                    buffer_cfg,
+                    target_maps=target_map,
+                )
+            )
+            ctxs.append(
+                {
+                    "poses_w2c": jnp.asarray(np.eye(4, dtype=np.float32)[:3][None]),
+                    "focals": jnp.asarray(self.scene.focals_canvas[frame : frame + 1]),
+                    "ppx": jnp.asarray(wc / 2.0, jnp.float32),
+                    "ppy": jnp.asarray(hc / 2.0, jnp.float32),
+                }
+            )
+            head_params = init_head_params(k_head, self.head_cfg, jnp.zeros(3))
+            states.append(
+                TrainState(
+                    head_params=head_params,
+                    head_opt=adamw_init(head_params),
+                    pose_params={},
+                    pose_opt=adamw_init({}),
+                    focal_g=jnp.asarray(0.0, jnp.float32),
+                    focal_opt=adamw_init(jnp.asarray(0.0, jnp.float32)),
+                    sched=init_schedule(train_cfg.schedule),
+                    iteration=jnp.asarray(0, jnp.int32),
+                    nan_steps=jnp.asarray(0, jnp.int32),
+                    key=k_train,
+                )
+            )
+
+        stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        state_s = stack(states)
+        buffer_s = stack(buffers)
+        ctx_s = stack(ctxs)
+
+        import time as _time
+
+        t0 = _time.time()
+        while True:
+            state_s, _ = _train_chunk_vmapped(
+                state_s, buffer_s, ctx_s, train_cfg, self.head_cfg, train_cfg.chunk_steps
+            )
+            iters = np.asarray(state_s.iteration)
+            if (iters >= np.asarray(state_s.sched.max_iterations)).all():
+                break
+        _logger.info(
+            "Trained %d seed maps in parallel: iterations %s in %.1fs",
+            S, iters.tolist(), _time.time() - t0,
+        )
+
+        results = []
+        for si in range(S):
+            iteration_id = f"iteration0_seed{si}"
+            head_params = jax.tree.map(lambda x: x[si], state_s.head_params)
+            torch_io.save_head(
+                self.out / f"{iteration_id}.pt", jax.device_get(head_params), self.head_cfg
+            )
+            entries = register_frames(
+                self.encoder_params,
+                head_params,
+                self.head_cfg,
+                self.scene,
+                self._registration_cfg(max_estimates=1000),
+            )
+            write_pose_file(self.out / f"poses_{iteration_id}_fastcheck.txt", entries)
+            rate = registration_rates(
+                [e.confidence for e in entries], [cfg.registration_confidence]
+            )[0]
+            _logger.info("Seed %d registered %.1f%% of frames.", si, rate * 100)
+            results.append((head_params, rate, iteration_id))
+        return results
+
     # ----------------------------------------------------------------- run
 
     def _register_all(
@@ -342,7 +452,10 @@ class AceZeroPipeline:
             np.random.seed(cfg.random_seed)
             seeds = np.random.uniform(size=cfg.try_seeds)
             _logger.info("Trying seeds: %s", seeds)
-            results = [self._map_seed(i, s) for i, s in enumerate(seeds)]
+            if cfg.seed_parallel and cfg.try_seeds > 1:
+                results = self._map_seeds_parallel(seeds)
+            else:
+                results = [self._map_seed(i, s) for i, s in enumerate(seeds)]
             rates = [r[1] for r in results]
             best = int(np.argmax(rates))
             head_params, _, iteration_id = results[best]

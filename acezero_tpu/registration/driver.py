@@ -91,6 +91,7 @@ def register_frames(
     scene: SceneData,
     cfg: RegistrationConfig,
     focal_override_orig: float | None = None,
+    mesh=None,
 ) -> list[PoseFileEntry]:
     """Register every frame of the scene; returns pose-file entries.
 
@@ -115,6 +116,18 @@ def register_frames(
     sizes = scene.images.sizes
 
     chunk = cfg.frame_chunk
+    if mesh is not None:
+        # frames shard across the mesh: round the chunk up to a multiple of
+        # the device count and device_put the per-chunk inputs row-sharded
+        chunk = -(-chunk // mesh.devices.size) * mesh.devices.size
+
+    def _maybe_shard(tree):
+        if mesh is None:
+            return tree
+        from acezero_tpu.parallel.mesh import shard_rows
+
+        return shard_rows(tree, mesh)
+
     entries: list[PoseFileEntry] = []
     t0 = time.time()
     for c0 in range(0, len(order), chunk):
@@ -127,10 +140,10 @@ def register_frames(
             encoder_params,
             head_params,
             head_cfg,
-            jnp.asarray(images[idx_p]),
-            jnp.asarray(sizes[idx_p]),
-            jnp.asarray(focals_canvas[idx_p], jnp.float32),
-            keys,
+            _maybe_shard(jnp.asarray(images[idx_p])),
+            _maybe_shard(jnp.asarray(sizes[idx_p])),
+            _maybe_shard(jnp.asarray(focals_canvas[idx_p], jnp.float32)),
+            _maybe_shard(keys),
             cfg.ransac,
         )
         poses_c2w = np.asarray(out["pose_c2w"], np.float64)

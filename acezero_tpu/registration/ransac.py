@@ -46,7 +46,7 @@ class RansacConfig:
     max_reproj_error: float = 100.0  # px, error clamp
     subsample: int = 8
     refinement_steps: int = 8  # reference converges in a handful; cap 100
-    lm_iterations: int = 8
+    lm_iterations: int = 3  # inner LM iterations per refit (J recomputes)
     polish_lm_iterations: int = 3  # minimal-set polish after f32 P3P
 
 
@@ -104,22 +104,8 @@ def _sample_hypotheses(key, pts, px, logits, focal, ppx, ppy, cfg: RansacConfig)
 
     rvec = matrix_to_rodrigues(R_best)  # (H, T, 3)
 
-    # polish the minimal set (recovers exactness lost to f32 quartic roots)
-    if cfg.polish_lm_iterations > 0:
-        flat_rvec = rvec.reshape(H * T, 3)
-        flat_tvec = t_best.reshape(H * T, 3)
-        flat_pts = sel_pts.reshape(H * T, 4, 3)
-        flat_px = sel_px.reshape(H * T, 4, 2)
-        w4 = jnp.ones((H * T, 4), jnp.float32)
-        pol_r, pol_t, _ = jax.vmap(
-            lambda r0, t0, p, u, w: lm_pnp(
-                r0, t0, p, u, w, focal, ppx, ppy, iterations=cfg.polish_lm_iterations
-            )
-        )(flat_rvec, flat_tvec, flat_pts, flat_px, w4)
-        rvec = pol_r.reshape(H, T, 3)
-        t_best = pol_t.reshape(H, T, 3)
-
-    # validate: all 4 minimal points within the inlier threshold
+    # validate pre-polish: all 4 minimal points within the inlier threshold
+    # (the Newton-polished quartic is already exact to well under a pixel)
     errs_min = jax.vmap(
         jax.vmap(
             lambda r, tt, p, u: reprojection_errors(
@@ -139,6 +125,18 @@ def _sample_hypotheses(key, pts, px, logits, focal, ppx, ppy, cfg: RansacConfig)
     hyp_valid = jnp.any(try_valid, axis=-1)
     rvec_h = jnp.take_along_axis(rvec, first[:, None, None], axis=1)[:, 0]
     tvec_h = jnp.take_along_axis(t_best, first[:, None, None], axis=1)[:, 0]
+
+    # polish ONLY the selected hypotheses (T x fewer LM solves than polishing
+    # every try; the scores/refits downstream absorb any residual f32 noise)
+    if cfg.polish_lm_iterations > 0:
+        sel_pts_h = jnp.take_along_axis(sel_pts, first[:, None, None, None], axis=1)[:, 0]
+        sel_px_h = jnp.take_along_axis(sel_px, first[:, None, None, None], axis=1)[:, 0]
+        w4 = jnp.ones((H, 4), jnp.float32)
+        rvec_h, tvec_h, _ = jax.vmap(
+            lambda r0, t0, p, u, w: lm_pnp(
+                r0, t0, p, u, w, focal, ppx, ppy, iterations=cfg.polish_lm_iterations
+            )
+        )(rvec_h, tvec_h, sel_pts_h, sel_px_h, w4)
     return rvec_h, tvec_h, hyp_valid
 
 

@@ -197,8 +197,7 @@ def _loss_fn(
     return loss, {"batch_inliers": batch_inliers, "focal": f_ref[0] / jnp.maximum(batch["scale"][0], 1e-9)}
 
 
-@partial(jax.jit, static_argnames=("cfg", "head_cfg", "num_steps", "streamed"))
-def _train_chunk(
+def _train_chunk_impl(
     state: TrainState,
     buffer: dict,
     ctx: dict,
@@ -291,6 +290,24 @@ def _train_chunk(
     return jax.lax.scan(step, state, None, length=num_steps)
 
 
+_train_chunk = jax.jit(
+    _train_chunk_impl, static_argnames=("cfg", "head_cfg", "num_steps", "streamed")
+)
+
+
+@partial(jax.jit, static_argnames=("cfg", "head_cfg", "num_steps"))
+def _train_chunk_vmapped(states, buffers, ctxs, cfg, head_cfg, num_steps):
+    """Train several independent maps at once (vmap over the leading axis).
+
+    The TPU-idiomatic replacement for the reference's joblib seed-process
+    pool (ace_zero.py:184-196): the 5 candidate seed maps train as one
+    batched program — same wall-clock as a single seed.
+    """
+    return jax.vmap(
+        lambda st, buf, ctx: _train_chunk_impl(st, buf, ctx, cfg, head_cfg, num_steps)
+    )(states, buffers, ctxs)
+
+
 class MappingTrainer:
     """Drives one mapping round: buffer fill + chunked fused training.
 
@@ -307,7 +324,9 @@ class MappingTrainer:
         buffer_cfg: BufferConfig,
         head_params: dict | None = None,
         base_seed: int = 2089,
+        mesh=None,
     ):
+        self.mesh = mesh  # jax.sharding.Mesh with a 'data' axis, or None
         self.scene = scene
         self.cfg = cfg
         self.buffer_cfg = buffer_cfg
@@ -367,6 +386,16 @@ class MappingTrainer:
             host_spill=self.cfg.buffer_host_spill,
         )
         n_rows = buffer["features"].shape[0]
+        if self.mesh is not None and not self.cfg.buffer_host_spill:
+            # shard the HBM hog across the mesh; params/state replicate and
+            # XLA inserts the batch-gather + grad-reduce collectives (GSPMD)
+            from acezero_tpu.parallel.mesh import replicate, shard_rows
+
+            aligned = (n_rows // self.mesh.devices.size) * self.mesh.devices.size
+            buffer = jax.tree.map(lambda a: a[:aligned], buffer)
+            buffer = shard_rows(buffer, self.mesh)
+            self.ctx = replicate(self.ctx, self.mesh)
+            n_rows = aligned
         fill_time = time.time() - t0
         _logger.info("Filled training buffer: %d rows in %.1fs", n_rows, fill_time)
 
@@ -391,6 +420,10 @@ class MappingTrainer:
             nan_steps=jnp.asarray(0, jnp.int32),
             key=k_train,
         )
+        if self.mesh is not None:
+            from acezero_tpu.parallel.mesh import replicate
+
+            state = replicate(state, self.mesh)
 
         train_start = time.time()
         last_logged = 0

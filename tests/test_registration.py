@@ -266,3 +266,28 @@ def test_estimate_pose_degenerate_returns_invalid(rng):
     assert not bool(out["valid"])
     assert int(out["inlier_count"]) == 0
     np.testing.assert_allclose(np.asarray(out["pose_c2w"]), np.eye(4))
+
+
+def test_register_frames_mesh_sharded():
+    """Registration driver with the frame axis sharded over an 8-device mesh."""
+    import sys
+    sys.path.insert(0, "tests")
+    from synthetic import render_room_scene
+    from test_trainer import _scene_from_synthetic
+    from acezero_tpu.models.encoder import init_encoder_params
+    from acezero_tpu.models.head import HeadConfig, init_head_params
+    from acezero_tpu.parallel.mesh import make_mesh
+    from acezero_tpu.registration.driver import RegistrationConfig, register_frames
+
+    data = render_room_scene(6, h=96, w=128)
+    scene = _scene_from_synthetic(data)
+    head_cfg = HeadConfig(num_head_blocks=0)
+    enc = init_encoder_params(jax.random.PRNGKey(0))
+    head = init_head_params(jax.random.PRNGKey(1), head_cfg, jnp.zeros(3))
+    cfg = RegistrationConfig(
+        ransac=RansacConfig(hypotheses=8, max_tries=4, refinement_steps=2, lm_iterations=2),
+        frame_chunk=4,
+    )
+    entries = register_frames(enc, head, head_cfg, scene, cfg, mesh=make_mesh(8))
+    assert len(entries) == 6
+    assert all(np.isfinite(e.pose_w2c).all() for e in entries)

@@ -208,3 +208,30 @@ def test_host_spill_buffer_training():
     )
     result = trainer.train()
     assert result["iterations"] == 60
+
+
+def test_mesh_sharded_training():
+    """Buffer rows sharded over an 8-device mesh; params replicated; XLA
+    inserts the collectives (SURVEY §2.3 TPU-native equivalent)."""
+    from acezero_tpu.parallel.mesh import make_mesh
+
+    data = render_room_scene(2, h=96, w=128)
+    scene = _scene_from_synthetic(data, with_depth_idx=[0])
+    head_cfg = HeadConfig(num_head_blocks=0)
+    cfg = TrainConfig(
+        batch_size=256,
+        schedule=ScheduleConfig(schedule="constant", iterations=40, learning_rate_min=0.003),
+        loss=ReproLossConfig(loss_type="tanh", total_iterations=40),
+        use_depth=True,
+        chunk_steps=20,
+    )
+    buf_cfg = BufferConfig(
+        max_buffer_size=2048, samples_per_image=256, max_dataset_passes=2, image_chunk=2
+    )
+    trainer = MappingTrainer(
+        scene, init_encoder_params(jax.random.PRNGKey(7)), head_cfg, cfg, buf_cfg,
+        mesh=make_mesh(8),
+    )
+    result = trainer.train()
+    assert result["iterations"] == 40
+    assert np.isfinite(result["poses_w2c"]).all()

@@ -39,7 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--image_resolution", type=int, default=480)
     parser.add_argument("--num_data_workers", type=int, default=12)
     parser.add_argument("--hypotheses", "-hyps", type=int, default=64)
-    parser.add_argument("--hypotheses_max_tries", type=int, default=16)
+    parser.add_argument("--hypotheses_max_tries", type=int, default=16,
+                        help="re-sampling attempts per hypothesis. NOTE: the reference "
+                             "defaults to 1e6 lazy retries; this build evaluates tries as a "
+                             "fixed batched dimension, so the default matches the "
+                             "orchestrated value (16). Raise moderately for very "
+                             "low-inlier scenes.")
     parser.add_argument("--threshold", "-t", type=float, default=10)
     parser.add_argument("--inlieralpha", "-ia", type=float, default=100)
     parser.add_argument("--maxpixelerror", "-maxerrr", type=float, default=100)

@@ -70,12 +70,17 @@ def import_encoder_state_dict(sd: dict) -> dict:
     return params
 
 
-def export_encoder_state_dict(params: dict):
+def export_encoder_state_dict(params: dict, half: bool = False):
     torch = _torch()
+
+    def t(x):
+        out = torch.from_numpy(np.ascontiguousarray(x))
+        return out.half() if half else out
+
     sd = {}
     for name, p in params.items():
-        sd[name + ".weight"] = torch.from_numpy(_hwio_to_conv(np.asarray(p["w"], np.float32)))
-        sd[name + ".bias"] = torch.from_numpy(np.asarray(p["b"], np.float32))
+        sd[name + ".weight"] = t(_hwio_to_conv(np.asarray(p["w"], np.float32)))
+        sd[name + ".bias"] = t(np.asarray(p["b"], np.float32))
     return sd
 
 
@@ -168,9 +173,9 @@ def load_head(path: str | Path) -> tuple[HeadConfig, dict]:
     return import_head_state_dict(load_state_dict(path))
 
 
-def save_encoder(path: str | Path, params: dict) -> None:
+def save_encoder(path: str | Path, params: dict, half: bool = False) -> None:
     torch = _torch()
-    torch.save(export_encoder_state_dict(params), str(path))
+    torch.save(export_encoder_state_dict(params, half=half), str(path))
 
 
 def load_encoder(path: str | Path) -> dict:

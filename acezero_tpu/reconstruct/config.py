@@ -84,7 +84,7 @@ class AceZeroConfig:
     base_seed: int = 2089  # trainer seed (train_ace.py:30)
     iterations_output: int = 500
     encoder_path: Path | None = None  # torch .pt encoder weights
-    registration_frame_chunk: int = 16
+    registration_frame_chunk: int = 64
 
     # internal knobs (not in the reference surface)
     num_decode_workers: int = 16

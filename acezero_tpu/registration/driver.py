@@ -40,7 +40,7 @@ class RegistrationConfig:
     ransac: RansacConfig = field(default_factory=lambda: RansacConfig(hypotheses=64, max_tries=1000))
     confidence_threshold: float = 1000.0
     max_estimates: int = -1
-    frame_chunk: int = 16
+    frame_chunk: int = 64
     base_seed: int = 1305
 
 

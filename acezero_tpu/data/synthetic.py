@@ -64,6 +64,19 @@ def _look_at(position: np.ndarray, target: np.ndarray) -> np.ndarray:
     return np.stack([x, y, z], axis=1)
 
 
+def _ray_box_entry(origin, d_world, lo, hi):
+    """Entry/exit distances of rays into an AABB; entry=inf when missed."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t0 = (lo - origin) / d_world
+        t1 = (hi - origin) / d_world
+    t_near = np.minimum(t0, t1)
+    t_far = np.maximum(t0, t1)
+    t_entry = np.max(np.where(np.isfinite(t_near), t_near, -np.inf), axis=-1)
+    t_exit = np.min(np.where(np.isfinite(t_far), t_far, np.inf), axis=-1)
+    hit = (t_entry <= t_exit) & (t_exit > 0) & (t_entry > 1e-3)
+    return np.where(hit, t_entry, np.inf)
+
+
 def render_scene(
     n_views: int,
     h: int = 96,
@@ -72,6 +85,7 @@ def render_scene(
     seed: int = 0,
     spread: float | None = None,
     box_half: float | None = None,
+    n_occluders: int | None = None,
 ) -> SyntheticScene:
     rng = np.random.default_rng(seed)
     if focal is None:
@@ -80,7 +94,20 @@ def render_scene(
         box_half = float(rng.uniform(2.0, 4.0))
     if spread is None:
         spread = 0.25 * box_half
+    if n_occluders is None:
+        n_occluders = int(rng.integers(0, 4))
     texture = _make_texture(rng)
+    occ_textures = [_make_texture(rng, block_amp=0.5) for _ in range(n_occluders)]
+    # interior occluder boxes: depth discontinuities + close-range structure
+    occ_boxes = []
+    for _ in range(n_occluders):
+        for _try in range(20):
+            center = rng.uniform(-0.65 * box_half, 0.65 * box_half, 3)
+            half = rng.uniform(0.08, 0.3, 3) * box_half
+            # keep boxes clear of the camera ring around the room center
+            if np.linalg.norm(center) - float(np.max(half)) > 0.45 * box_half:
+                occ_boxes.append((center - half, center + half))
+                break
     cx, cy = w / 2.0, h / 2.0
 
     images = np.zeros((n_views, h, w), np.uint8)
@@ -118,9 +145,22 @@ def render_scene(
             t_far = np.where(np.isfinite(t_far), t_far, np.inf)
             t_exit = np.minimum(t_exit, t_far)
 
-        points = position + d_world * t_exit[..., None]
-        images[i] = (texture(points) * 255).astype(np.uint8)
-        depths[i] = t_exit  # camera-z depth (d_cam z-component is 1)
+        t_hit = t_exit
+        tex_id = np.full((h, w), -1, np.int8)
+        for bi, (lo, hi) in enumerate(occ_boxes):
+            t_box = _ray_box_entry(position, d_world, lo, hi)
+            closer = t_box < t_hit
+            t_hit = np.where(closer, t_box, t_hit)
+            tex_id = np.where(closer, np.int8(bi), tex_id)
+
+        points = position + d_world * t_hit[..., None]
+        shade = texture(points)
+        for bi, occ_tex in enumerate(occ_textures):
+            m = tex_id == bi
+            if m.any():
+                shade[m] = occ_tex(points[m])
+        images[i] = (shade * 255).astype(np.uint8)
+        depths[i] = t_hit  # camera-z depth (d_cam z-component is 1)
 
     return SyntheticScene(images_u8=images, poses_c2w=poses, depth=depths, focal=focal)
 

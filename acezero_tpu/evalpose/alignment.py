@@ -22,17 +22,6 @@ from acezero_tpu.geometry.rotations import rotation_angle
 _logger = logging.getLogger(__name__)
 
 
-def _get_inliers_np(T, poses_gt, poses_est, thresh_t, thresh_r):
-    """Inlier mask of one alignment hypothesis over all pose pairs."""
-    gt_t = poses_gt[:, :3, 3] @ T[:3, :3].T + T[:3, 3]
-    dt = np.linalg.norm(gt_t - poses_est[:, :3, 3], axis=1)
-    rel = np.einsum("ab,ibc->iac", T[:3, :3] / np.cbrt(max(np.linalg.det(T[:3, :3]), 1e-12)), poses_gt[:, :3, :3])
-    rel = np.einsum("iab,icb->iac", rel, poses_est[:, :3, :3])
-    tr = np.trace(rel, axis1=1, axis2=2)
-    ang = np.arccos(np.clip((tr - 1) / 2, -1, 1))
-    return (dt < thresh_t) & (ang < np.deg2rad(thresh_r))
-
-
 def estimate_alignment(
     poses_est_c2w: np.ndarray,
     poses_gt_c2w: np.ndarray,
@@ -81,7 +70,6 @@ def estimate_alignment(
     gt_R = gt[:, :3, :3]
     est_R = est[:, :3, :3]
 
-    best = []
     scores = np.zeros(ransac_iterations, np.int64)
     minimal_ok = np.zeros(ransac_iterations, bool)
     chunkH = 512
@@ -98,7 +86,6 @@ def estimate_alignment(
         ang = np.arccos(np.clip((tr - 1) / 2, -1, 1))
         inl = (dt < inlier_threshold_t) & (ang < np.deg2rad(inlier_threshold_r))
         scores[h0 : h0 + chunkH] = inl.sum(axis=1)
-        rows = np.arange(Tc.shape[0])[:, None]
         minimal_ok[h0 : h0 + chunkH] = np.take_along_axis(
             inl, samples[h0 : h0 + chunkH], axis=1
         ).sum(axis=1) >= 3

@@ -20,6 +20,12 @@ weight tensor plus a static "skip tag" tuple describing where residual adds
 happen, so one kernel serves any `num_head_blocks`. The final 512->(3|4)
 projection runs outside the kernel (tiny; fuses into the homogeneous
 epilogue).
+
+Measured on TPU v5e (batch 5120, 1 extra block, loop-carried inputs so
+nothing hoists): XLA 0.444 ms per fwd+bwd (~74% MFU) vs this kernel
+0.636 ms — XLA's automatic fusion wins at these shapes, so the kernel is
+OFF by default (`TrainConfig.use_fused_head`); it remains the substrate for
+shapes XLA fuses worse.
 """
 
 from __future__ import annotations

@@ -194,7 +194,7 @@ def _loss_fn(
         )
 
     loss = (loss_valid + loss_invalid) / B
-    return loss, {"batch_inliers": batch_inliers, "focal": f_ref[0] / jnp.maximum(batch["scale"][0], 1e-9)}
+    return loss, {"batch_inliers": batch_inliers}
 
 
 def _train_chunk_impl(

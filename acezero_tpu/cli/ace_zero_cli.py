@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--learning_rate_max", type=float, default=0.003)
     g.add_argument("--cooldown_iterations", type=int, default=5000)
     g.add_argument("--cooldown_threshold", type=float, default=0.7)
+    g.add_argument("--iterations", type=int, default=25000,
+                   help="per-round mapping iteration cap (extension; the reference "
+                        "hardcodes train_ace.py's 25000 default)")
 
     g = parser.add_argument_group("ACE parameters")
     g.add_argument("--image_resolution", type=int, default=480)
@@ -116,6 +119,7 @@ def config_from_args(args: argparse.Namespace) -> AceZeroConfig:
         learning_rate_max=args.learning_rate_max,
         cooldown_iterations=args.cooldown_iterations,
         cooldown_threshold=args.cooldown_threshold,
+        iterations=args.iterations,
         image_resolution=args.image_resolution,
         num_head_blocks=args.num_head_blocks,
         max_dataset_passes=args.max_dataset_passes,

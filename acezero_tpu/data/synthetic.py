@@ -86,7 +86,11 @@ def render_scene(
     spread: float | None = None,
     box_half: float | None = None,
     n_occluders: int | None = None,
+    look: str = "outward",
 ) -> SyntheticScene:
+    """`look`: camera orientation pattern — "outward" (panorama-like ring,
+    weakly conditioned view graph) or "across" (convergent views through the
+    room center: strong parallax overlap, the well-conditioned case)."""
     rng = np.random.default_rng(seed)
     if focal is None:
         focal = float(rng.uniform(0.7, 1.4) * w)
@@ -126,7 +130,10 @@ def render_scene(
                 spread * np.sin(angle) + rng.normal() * 0.1,
             ]
         )
-        target = position + np.array([np.cos(angle), rng.normal() * 0.2, np.sin(angle)])
+        if look == "across":
+            target = rng.normal(size=3) * 0.15 * box_half  # through the center
+        else:
+            target = position + np.array([np.cos(angle), rng.normal() * 0.2, np.sin(angle)])
         R = _look_at(position, target)
 
         T = np.eye(4)

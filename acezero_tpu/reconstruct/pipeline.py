@@ -346,26 +346,32 @@ class AceZeroPipeline:
             S, iters.tolist(), _time.time() - t0,
         )
 
+        # fast scoring: all seed maps registered per chunk with one shared
+        # encoder pass (register_frames_multi)
+        from acezero_tpu.registration.driver import register_frames_multi
+
+        head_list = [jax.tree.map(lambda x: x[si], state_s.head_params) for si in range(S)]
+        all_entries = register_frames_multi(
+            self.encoder_params,
+            head_list,
+            self.head_cfg,
+            self.scene,
+            self._registration_cfg(max_estimates=1000),
+        )
+
         results = []
         for si in range(S):
             iteration_id = f"iteration0_seed{si}"
-            head_params = jax.tree.map(lambda x: x[si], state_s.head_params)
             torch_io.save_head(
-                self.out / f"{iteration_id}.pt", jax.device_get(head_params), self.head_cfg
+                self.out / f"{iteration_id}.pt", jax.device_get(head_list[si]), self.head_cfg
             )
-            entries = register_frames(
-                self.encoder_params,
-                head_params,
-                self.head_cfg,
-                self.scene,
-                self._registration_cfg(max_estimates=1000),
-            )
+            entries = all_entries[si]
             write_pose_file(self.out / f"poses_{iteration_id}_fastcheck.txt", entries)
             rate = registration_rates(
                 [e.confidence for e in entries], [cfg.registration_confidence]
             )[0]
             _logger.info("Seed %d registered %.1f%% of frames.", si, rate * 100)
-            results.append((head_params, rate, iteration_id))
+            results.append((head_list[si], rate, iteration_id))
         return results
 
     # ----------------------------------------------------------------- run

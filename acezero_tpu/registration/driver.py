@@ -45,6 +45,107 @@ class RegistrationConfig:
 
 
 @partial(jax.jit, static_argnames=("head_cfg", "ransac_cfg", "subsample"))
+def _register_chunk_multi(
+    encoder_params,
+    head_params_stacked,  # pytree with leading head axis S
+    head_cfg: HeadConfig,
+    images_u8,
+    sizes,
+    focals,
+    keys,  # (S, B, 2)
+    ransac_cfg: RansacConfig,
+    subsample: int = 8,
+):
+    """Register one frame chunk against S scene maps at once.
+
+    Encoder features are computed once and shared; the S heads + RANSACs
+    vmap over the head axis — the seed-scoring stage registers against all
+    candidate seed maps for one encoder pass (reference scores seeds in
+    separate processes, ace_zero_util.py:242-259).
+    """
+    B, H, W = images_u8.shape
+    images = normalize_images(images_u8)
+    hh = sizes[:, 0].astype(jnp.float32)[:, None, None]
+    ww = sizes[:, 1].astype(jnp.float32)[:, None, None]
+    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    mask = (yy >= (H - hh) / 2) & (yy < (H + hh) / 2) & (xx >= (W - ww) / 2) & (xx < (W + ww) / 2)
+    images = jnp.where(mask[..., None], images, 0.0)
+
+    feats = encoder_apply(encoder_params, images)
+    off = subsample // 2
+    mask_lr = mask[:, off::subsample, off::subsample]
+    h, w = feats.shape[1:3]
+    grid = get_pixel_grid(h, w, subsample)
+    ppx = jnp.full((B,), W / 2.0, jnp.float32)
+    ppy = jnp.full((B,), H / 2.0, jnp.float32)
+
+    def one_head(head_params, keys_h):
+        coords = head_apply_image(head_params, head_cfg, feats)
+        return jax.vmap(
+            lambda k, sc, m, f, px_, py_: estimate_pose(k, sc, m, grid, f, px_, py_, ransac_cfg)
+        )(keys_h, coords, mask_lr, focals, ppx, ppy)
+
+    return jax.vmap(one_head)(head_params_stacked, keys)
+
+
+def register_frames_multi(
+    encoder_params,
+    head_params_list: list,
+    head_cfg: HeadConfig,
+    scene: SceneData,
+    cfg: RegistrationConfig,
+) -> list[list[PoseFileEntry]]:
+    """Register frames against several heads sharing one encoder pass.
+
+    Returns one entry list per head (same frame order)."""
+    S = len(head_params_list)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *head_params_list)
+    n = len(scene)
+    order = np.random.default_rng(cfg.base_seed).permutation(n)
+    if cfg.max_estimates > 0:
+        order = order[: cfg.max_estimates]
+
+    key = jax.random.PRNGKey(cfg.base_seed)
+    images, sizes = scene.images.canvases, scene.images.sizes
+    chunk = cfg.frame_chunk
+    results: list[list[PoseFileEntry]] = [[] for _ in range(S)]
+    t0 = time.time()
+    for c0 in range(0, len(order), chunk):
+        idx = order[c0 : c0 + chunk]
+        pad = chunk - len(idx)
+        idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, S * chunk).reshape(S, chunk, -1)
+        out = _register_chunk_multi(
+            encoder_params,
+            stacked,
+            head_cfg,
+            jnp.asarray(images[idx_p]),
+            jnp.asarray(sizes[idx_p]),
+            jnp.asarray(scene.focals_canvas[idx_p], jnp.float32),
+            keys,
+            cfg.ransac,
+        )
+        poses = np.asarray(out["pose_c2w"], np.float64)  # (S, B, 4, 4)
+        confs = np.asarray(out["inlier_count"])
+        for s_i in range(S):
+            for j, i in enumerate(idx):
+                results[s_i].append(
+                    PoseFileEntry(
+                        rgb_file=scene.rgb_files[i],
+                        pose_w2c=np.linalg.inv(poses[s_i, j]),
+                        focal_length=float(scene.focals_orig[i]),
+                        confidence=float(confs[s_i, j]),
+                    )
+                )
+    _logger.info(
+        "Registered %d frames x %d maps in %.1fs", len(order), S, time.time() - t0
+    )
+    return results
+
+
+@partial(jax.jit, static_argnames=("head_cfg", "ransac_cfg", "subsample"))
 def _register_chunk(
     encoder_params,
     head_params,

@@ -308,11 +308,26 @@ def _train_chunk_vmapped(states, buffers, ctxs, cfg, head_cfg, num_steps):
     )(states, buffers, ctxs)
 
 
+def _next_bucket(n: int, minimum: int = 1) -> int:
+    """Round up to the next power of two (jit-shape bucketing)."""
+    b = max(minimum, 1)
+    while b < n:
+        b *= 2
+    return b
+
+
 class MappingTrainer:
     """Drives one mapping round: buffer fill + chunked fused training.
 
     The in-process equivalent of `TrainerACE(options).train()`
     (/root/reference/train_ace.py:240-241).
+
+    Shape bucketing: the reconstruction loop maps a different confident
+    subset every round, which would change the buffer row count and pose
+    table size — and therefore recompile every jitted chunk each round. Both
+    are padded up to power-of-two buckets (rows repeat cyclically, pose/
+    focal tables pad with identities that no row references), so the whole
+    multi-round loop reuses a handful of compiled programs.
     """
 
     def __init__(
@@ -346,12 +361,19 @@ class MappingTrainer:
                     "All images must share one focal length for calibration refinement"
                 )
 
-        # world-to-camera pose table (the refiner's anchor poses)
+        # world-to-camera pose table (the refiner's anchor poses), padded to
+        # a power-of-two image count so jit shapes bucket across rounds
         w2c = np.linalg.inv(scene.poses_c2w.astype(np.float64)).astype(np.float32)
+        n_img = len(scene)
+        n_pad = _next_bucket(n_img, 8)
+        w2c_pad = np.tile(np.eye(4, dtype=np.float32)[None], (n_pad, 1, 1))
+        w2c_pad[:n_img] = w2c
+        focals_pad = np.ones(n_pad, np.float32)
+        focals_pad[:n_img] = scene.focals_canvas
         ppx, ppy = scene.principal_point
         self.ctx = {
-            "poses_w2c": jnp.asarray(w2c[:, :3, :4]),
-            "focals": jnp.asarray(scene.focals_canvas),
+            "poses_w2c": jnp.asarray(w2c_pad[:, :3, :4]),
+            "focals": jnp.asarray(focals_pad),
             "ppx": jnp.asarray(ppx, jnp.float32),
             "ppy": jnp.asarray(ppy, jnp.float32),
         }
@@ -386,6 +408,13 @@ class MappingTrainer:
             host_spill=self.cfg.buffer_host_spill,
         )
         n_rows = buffer["features"].shape[0]
+        target_rows = _next_bucket(n_rows, 4096)
+        if target_rows > n_rows and not self.cfg.buffer_host_spill:
+            # cyclic-repeat padding: identical sampling distribution up to a
+            # bounded duplicate bias, in exchange for stable jit shapes
+            idx = jnp.arange(target_rows) % n_rows
+            buffer = jax.tree.map(lambda a: a[idx], buffer)
+            n_rows = target_rows
         if self.mesh is not None and not self.cfg.buffer_host_spill:
             # shard the HBM hog across the mesh; params/state replicate and
             # XLA inserts the batch-gather + grad-reduce collectives (GSPMD)
@@ -492,4 +521,4 @@ class MappingTrainer:
         w2c_rows = self.ctx["poses_w2c"]
         idx = jnp.arange(w2c_rows.shape[0])
         refined = _refined_w2c(self.cfg, state.pose_params, w2c_rows, idx)
-        return np.asarray(refined)
+        return np.asarray(refined)[: len(self.scene)]

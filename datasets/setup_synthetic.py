@@ -29,10 +29,11 @@ def main() -> int:
     parser.add_argument("--height", type=int, default=480)
     parser.add_argument("--width", type=int, default=640)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--look", choices=["outward", "across"], default="outward")
     args = parser.parse_args()
 
     dutil.mkdir(args.out)
-    scene = render_scene(args.views, h=args.height, w=args.width, seed=args.seed)
+    scene = render_scene(args.views, h=args.height, w=args.width, seed=args.seed, look=args.look)
     for i in range(args.views):
         stem = args.out / f"frame_{i:05d}"
         Image.fromarray(scene.images_u8[i]).save(f"{stem}.png")

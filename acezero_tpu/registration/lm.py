@@ -129,39 +129,52 @@ def lm_pnp(
     """
     wsum = jnp.maximum(jnp.sum(weights), 1e-9)
 
-    def cost_of(rvec, tvec):
-        res, _ = _residuals_and_jacobian(rvec, tvec, world_pts, target_px, focal, ppx, ppy)
-        return jnp.sum(weights * jnp.sum(res * res, axis=-1)) / wsum
-
     def body(state, _):
-        rvec, tvec, lam, cost = state
+        # Deferred accept/reject: exactly ONE residual+Jacobian evaluation
+        # per iteration (sequential op depth is what registration latency is
+        # made of on TPU). The cost of the *current* params decides whether
+        # the previous step gets kept or rolled back to `best`.
+        rvec, tvec, lam, best = state
         res, J = _residuals_and_jacobian(rvec, tvec, world_pts, target_px, focal, ppx, ppy)
+        cost = jnp.sum(weights * jnp.sum(res * res, axis=-1)) / wsum
+
         w = weights[:, None]
-        # normal equations: (J^T W J + lam I) dx = -J^T W r
         Jw = J * w[..., None]
         JtJ = jnp.einsum("nri,nrj->ij", Jw, J)
         Jtr = jnp.einsum("nri,nr->i", Jw, res)
-        A = JtJ + lam * jnp.diag(jnp.maximum(jnp.diag(JtJ), 1e-6))
-        dx = -jnp.linalg.solve(A, Jtr)
+
+        improved = cost < best["cost"]
+        pick = lambda new, old: jnp.where(improved, new, old)
+        best = {
+            "cost": pick(cost, best["cost"]),
+            "rvec": pick(rvec, best["rvec"]),
+            "tvec": pick(tvec, best["tvec"]),
+            "JtJ": jnp.where(improved, JtJ, best["JtJ"]),
+            "Jtr": jnp.where(improved, Jtr, best["Jtr"]),
+        }
+        lam = jnp.clip(jnp.where(improved, lam * 0.33, lam * 10.0), 1e-8, 1e6)
+
+        # step from the best evaluated point's normal equations (rejected
+        # steps revert, then retry with stronger damping) — exact LM at one
+        # residual/Jacobian evaluation per iteration
+        A = best["JtJ"] + lam * jnp.diag(jnp.maximum(jnp.diag(best["JtJ"]), 1e-6))
+        dx = -jnp.linalg.solve(A, best["Jtr"])
 
         # compose: left-perturbation on rotation (t is the fixed pivot of the
         # perturbation model in _residuals_and_jacobian), additive on t
         dR = rodrigues_to_matrix(dx[:3])
-        R_new = dR @ rodrigues_to_matrix(rvec)
-        t_new = tvec + dx[3:]
-        rvec_new = matrix_to_rodrigues(R_new)
-        new_cost = cost_of(rvec_new, t_new)
+        rvec_new = matrix_to_rodrigues(dR @ rodrigues_to_matrix(best["rvec"]))
+        t_new = best["tvec"] + dx[3:]
+        return (rvec_new, t_new, lam, best), None
 
-        improved = new_cost < cost
-        rvec = jnp.where(improved, rvec_new, rvec)
-        tvec = jnp.where(improved, t_new, tvec)
-        cost_out = jnp.where(improved, new_cost, cost)
-        lam = jnp.where(improved, lam * 0.33, lam * 10.0)
-        lam = jnp.clip(lam, 1e-8, 1e6)
-        return (rvec, tvec, lam, cost_out), None
-
-    init_cost = cost_of(rvec0, tvec0)
-    (rvec, tvec, _, cost), _ = jax.lax.scan(
-        body, (rvec0, tvec0, jnp.asarray(1e-3, jnp.float32), init_cost), None, length=iterations
-    )
-    return rvec, tvec, cost
+    big = jnp.asarray(jnp.inf, jnp.float32)
+    best0 = {
+        "cost": big,
+        "rvec": rvec0,
+        "tvec": tvec0,
+        "JtJ": jnp.eye(6, dtype=jnp.float32),
+        "Jtr": jnp.zeros(6, jnp.float32),
+    }
+    state0 = (rvec0, tvec0, jnp.asarray(1e-3, jnp.float32), best0)
+    (_, _, _, best), _ = jax.lax.scan(body, state0, None, length=iterations + 1)
+    return best["rvec"], best["tvec"], best["cost"]

@@ -121,25 +121,40 @@ def solve_quartic(coeffs: jax.Array):
     return roots, valid
 
 
+def _triangle_frame(pts: jax.Array) -> jax.Array:
+    """Right-handed orthonormal frame of a 3-point triangle (..., 3, 3).
+
+    Columns: normalized first edge, in-plane perpendicular, normal.
+    """
+    e1 = pts[..., 1, :] - pts[..., 0, :]
+    e2 = pts[..., 2, :] - pts[..., 0, :]
+    u = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), _EPS)
+    n = jnp.cross(e1, e2)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), _EPS)
+    v = jnp.cross(n, u)
+    return jnp.stack([u, v, n], axis=-1)
+
+
 @f32_matmul
 def _kabsch_3pt(cam_pts: jax.Array, world_pts: jax.Array):
     """Rigid w2c transform from 3 exact correspondences (no scale).
 
     cam_pts, world_pts: (..., 3, 3) rows are points. Returns (R, t) with
     cam = R @ world + t.
+
+    P3P minimal sets are congruent by construction (distances preserved up
+    to quartic-root noise), so the rotation comes from aligning the two
+    triangle frames directly: R = F_cam @ F_world^T — closed-form arithmetic
+    instead of tens of thousands of tiny SVDs, whose iterative XLA lowering
+    dominates registration latency on TPU. Degenerate (collinear) triangles
+    produce garbage frames that the downstream 4-point validation rejects.
     """
-    mu_c = jnp.mean(cam_pts, axis=-2, keepdims=True)
-    mu_w = jnp.mean(world_pts, axis=-2, keepdims=True)
-    cc = cam_pts - mu_c
-    cw = world_pts - mu_w
-    cov = jnp.swapaxes(cw, -1, -2) @ cc  # world -> cam
-    u, s, vt = jnp.linalg.svd(cov)
-    det = jnp.linalg.det(jnp.swapaxes(vt, -1, -2) @ jnp.swapaxes(u, -1, -2))
-    corr = jnp.stack(
-        [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
-    )
-    R = (jnp.swapaxes(vt, -1, -2) * corr[..., None, :]) @ jnp.swapaxes(u, -1, -2)
-    t = mu_c[..., 0, :] - (R @ mu_w[..., 0, :, None])[..., 0]
+    F_c = _triangle_frame(cam_pts)
+    F_w = _triangle_frame(world_pts)
+    R = F_c @ jnp.swapaxes(F_w, -1, -2)
+    mu_c = jnp.mean(cam_pts, axis=-2)
+    mu_w = jnp.mean(world_pts, axis=-2)
+    t = mu_c - (R @ mu_w[..., :, None])[..., 0]
     return R, t
 
 

@@ -41,7 +41,7 @@ class BufferConfig:
     use_aug: bool = True
     aug_rotation: float = 15.0
     aug_scale_max: float = 1.5
-    image_chunk: int = 16  # images encoded per jitted chunk
+    image_chunk: int = 32  # images encoded per jitted chunk
     subsample: int = 8
 
 

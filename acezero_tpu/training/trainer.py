@@ -80,7 +80,7 @@ class TrainConfig:
     use_depth: bool = False
     use_fused_head: bool = False  # Pallas fused-MLP kernel for the head chain
     buffer_host_spill: bool = False  # `--training_buffer_cpu` equivalent
-    chunk_steps: int = 250
+    chunk_steps: int = 500
     iterations_output: int = 500
 
 

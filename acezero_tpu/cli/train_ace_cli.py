@@ -134,16 +134,27 @@ def main(argv: list[str] | None = None) -> int:
                 "Depth supervision requested (pose seed) but no --depth_files; "
                 "in-process depth estimators are available via the Python API."
             )
-        if args.use_pose_seed >= 0 and len(depth_files) > 1:
-            # seed subset: alphabetical correspondence to the full rgb glob
-            all_rgb = get_files_from_glob(args.rgb_files)
-            seed_index = int(args.use_pose_seed * len(all_rgb))
-            depth_files = [depth_files[seed_index]]
-        for i, df in enumerate(depth_files[: len(scene)]):
+        # Depth correspondence is by alphabetical index against the FULL rgb
+        # glob (reference convention). The scene may be a subset in a
+        # different order (dropped invalid poses, ACE-pose-file order, seed
+        # selection), so map depth to scene frames by rgb filename — a
+        # positional zip would shift every depth map after a dropped frame.
+        all_rgb = get_files_from_glob(args.rgb_files)
+        rgb_to_depth = {
+            rgb: depth_files[i] for i, rgb in enumerate(all_rgb) if i < len(depth_files)
+        }
+        missing = 0
+        for i, rgb in enumerate(scene.rgb_files):
+            df = rgb_to_depth.get(rgb)
+            if df is None:
+                missing += 1
+                continue
             h, w = scene.images.sizes[i]
             scene.depth_maps[i] = depth_to_canvas(
                 load_depth_file(df), (int(h), int(w)), scene.canvas_hw
             )
+        if missing:
+            _logger.warning("No depth file matched %d of %d scene frames.", missing, len(scene))
 
     head_cfg = HeadConfig(num_head_blocks=args.num_head_blocks, use_homogeneous=args.use_homogeneous)
     if args.encoder_path is not None and Path(args.encoder_path).exists():

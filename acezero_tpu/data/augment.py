@@ -30,6 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from acezero_tpu.data.canvas_geom import content_mask
 from acezero_tpu.data.images import GRAY_MEAN, GRAY_STD
 
 
@@ -120,14 +121,9 @@ def augment_batch(
 
     x = images_u8.astype(jnp.float32) / 255.0
 
-    # content masks from sizes (content is centered on the canvas)
-    hh = sizes[:, 0].astype(jnp.float32)[:, None, None]
-    ww = sizes[:, 1].astype(jnp.float32)[:, None, None]
-    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    y0 = (h - hh) / 2.0
-    x0 = (w - ww) / 2.0
-    base_mask = (yy >= y0) & (yy < y0 + hh) & (xx >= x0) & (xx < x0 + ww)
+    # content masks from sizes (content is centered on the canvas; shares
+    # the integer-floor placement convention with decode_to_canvas)
+    base_mask = content_mask(h, w, sizes)
 
     # photometric: brightness scale then torchvision-style contrast blend
     mean_per_img = jnp.sum(x * base_mask, axis=(1, 2)) / jnp.maximum(

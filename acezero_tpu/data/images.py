@@ -79,7 +79,14 @@ def decode_to_canvas(
 
     def _load_raw(p):
         with Image.open(p) as img:
-            return np.asarray(img)
+            # normalize exotic modes (palette, LA, 16-bit, CMYK) to what the
+            # native luma kernel understands: uint8 L or RGB
+            if img.mode not in ("L", "RGB"):
+                img = img.convert("RGB" if img.mode not in ("1", "I", "I;16", "F") else "L")
+            arr = np.asarray(img)
+            if arr.dtype != np.uint8:
+                arr = np.clip(arr, 0, 255).astype(np.uint8)
+            return arr
 
     native = None
     if use_native:

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from acezero_tpu.data.augment import normalize_images
+from acezero_tpu.data.canvas_geom import content_mask
 from acezero_tpu.data.scene import SceneData
 from acezero_tpu.geometry.projection import get_pixel_grid
 from acezero_tpu.io.pose_files import PoseFileEntry
@@ -37,11 +38,33 @@ _logger = logging.getLogger(__name__)
 
 @dataclass(frozen=True)
 class RegistrationConfig:
-    ransac: RansacConfig = field(default_factory=lambda: RansacConfig(hypotheses=64, max_tries=1000))
-    confidence_threshold: float = 1000.0
+    # NOTE: the reference defaults to 1e6 *lazy* hypothesis retries; tries
+    # here are an eagerly batched dimension, so the default matches the
+    # orchestrated 16 (64 hyps x 1000 tries would materialize multi-GB
+    # candidate tensors per chunk).
+    ransac: RansacConfig = field(default_factory=lambda: RansacConfig(hypotheses=64, max_tries=16))
+    confidence_threshold: float = 1000.0  # "successfully registered" bar for reporting
     max_estimates: int = -1
     frame_chunk: int = 64
     base_seed: int = 1305
+
+
+def _canvas_prologue(images_u8, sizes, subsample: int):
+    """Normalize, zero the padding, and derive masks/grid/pp for a chunk.
+
+    Single source of the canvas-content geometry (shared with the training
+    path through data.canvas_geom.content_mask — the float-bound variant
+    marked one padding row valid whenever the centering margin was odd)."""
+    B, H, W = images_u8.shape
+    images = normalize_images(images_u8)
+    mask = content_mask(H, W, sizes)
+    images = jnp.where(mask[..., None], images, 0.0)
+    off = subsample // 2
+    mask_lr = mask[:, off::subsample, off::subsample]
+    grid = get_pixel_grid(H // subsample, W // subsample, subsample)
+    ppx = jnp.full((B,), W / 2.0, jnp.float32)
+    ppy = jnp.full((B,), H / 2.0, jnp.float32)
+    return images, mask_lr, grid, ppx, ppy
 
 
 @partial(jax.jit, static_argnames=("head_cfg", "ransac_cfg", "subsample"))
@@ -63,22 +86,8 @@ def _register_chunk_multi(
     candidate seed maps for one encoder pass (reference scores seeds in
     separate processes, ace_zero_util.py:242-259).
     """
-    B, H, W = images_u8.shape
-    images = normalize_images(images_u8)
-    hh = sizes[:, 0].astype(jnp.float32)[:, None, None]
-    ww = sizes[:, 1].astype(jnp.float32)[:, None, None]
-    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
-    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
-    mask = (yy >= (H - hh) / 2) & (yy < (H + hh) / 2) & (xx >= (W - ww) / 2) & (xx < (W + ww) / 2)
-    images = jnp.where(mask[..., None], images, 0.0)
-
+    images, mask_lr, grid, ppx, ppy = _canvas_prologue(images_u8, sizes, subsample)
     feats = encoder_apply(encoder_params, images)
-    off = subsample // 2
-    mask_lr = mask[:, off::subsample, off::subsample]
-    h, w = feats.shape[1:3]
-    grid = get_pixel_grid(h, w, subsample)
-    ppx = jnp.full((B,), W / 2.0, jnp.float32)
-    ppy = jnp.full((B,), H / 2.0, jnp.float32)
 
     def one_head(head_params, keys_h):
         coords = head_apply_image(head_params, head_cfg, feats)
@@ -157,28 +166,9 @@ def _register_chunk(
     ransac_cfg: RansacConfig,
     subsample: int = 8,
 ):
-    B, H, W = images_u8.shape
-    images = normalize_images(images_u8)
-
-    # padding is zero-gray; zero it explicitly like the training path
-    hh = sizes[:, 0].astype(jnp.float32)[:, None, None]
-    ww = sizes[:, 1].astype(jnp.float32)[:, None, None]
-    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
-    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
-    mask = (yy >= (H - hh) / 2) & (yy < (H + hh) / 2) & (xx >= (W - ww) / 2) & (xx < (W + ww) / 2)
-    images = jnp.where(mask[..., None], images, 0.0)
-
+    images, mask_lr, grid, ppx, ppy = _canvas_prologue(images_u8, sizes, subsample)
     feats = encoder_apply(encoder_params, images)
     coords = head_apply_image(head_params, head_cfg, feats)  # (B, h, w, 3)
-
-    off = subsample // 2
-    mask_lr = mask[:, off::subsample, off::subsample]
-
-    h, w = coords.shape[1:3]
-    grid = get_pixel_grid(h, w, subsample)
-
-    ppx = jnp.full((B,), W / 2.0, jnp.float32)
-    ppy = jnp.full((B,), H / 2.0, jnp.float32)
 
     return jax.vmap(
         lambda k, sc, m, f, px_, py_: estimate_pose(k, sc, m, grid, f, px_, py_, ransac_cfg)
@@ -260,7 +250,9 @@ def register_frames(
                 )
             )
     dt = time.time() - t0
+    n_success = sum(e.confidence > cfg.confidence_threshold for e in entries)
     _logger.info(
-        "Registered %d frames in %.1fs (%.1f frames/s)", len(entries), dt, len(entries) / max(dt, 1e-9)
+        "Registered %d frames in %.1fs (%.1f frames/s); %d above confidence %.0f",
+        len(entries), dt, len(entries) / max(dt, 1e-9), n_success, cfg.confidence_threshold,
     )
     return entries

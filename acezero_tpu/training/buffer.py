@@ -135,6 +135,14 @@ def _write_rows(buffer, rows, start):
     )
 
 
+def next_bucket(n: int, minimum: int = 1) -> int:
+    """Round up to the next power of two (jit-shape bucketing)."""
+    b = max(minimum, 1)
+    while b < n:
+        b *= 2
+    return b
+
+
 def fill_training_buffer(
     key: jax.Array,
     encoder_params,
@@ -144,6 +152,7 @@ def fill_training_buffer(
     target_maps: np.ndarray | None = None,
     devices_pad: int = 1,
     host_spill: bool = False,
+    pad_rows_to_bucket: bool = False,
 ):
     """Fill the patch buffer from a scene's canvas images.
 
@@ -164,6 +173,9 @@ def fill_training_buffer(
     total = (total // (cfg.samples_per_image)) * cfg.samples_per_image
     if devices_pad > 1:
         total = (total // devices_pad) * devices_pad
+    # jit-shape bucketing: allocate the padded size up front (one buffer, no
+    # transient duplicate); the pad region is cyclic-filled after the fill
+    alloc = next_bucket(total, 4096) if (pad_rows_to_bucket and not host_spill) else total
 
     use_depth = target_maps is not None
     feat_dim = encoder_params["res2_conv3"]["w"].shape[-1]
@@ -173,21 +185,21 @@ def fill_training_buffer(
         # the `--training_buffer_cpu` equivalent (reference ace_trainer.py:52,
         # 330-340): rows spill to host RAM; training streams batches back.
         buffer = {
-            "features": np.zeros((total, feat_dim), np.float16),
-            "target_px": np.zeros((total, 2), np.float32),
-            "target_crds": np.zeros((total, 3), np.float32),
-            "img_idx": np.zeros((total,), np.int32),
-            "theta": np.zeros((total,), np.float32),
-            "scale": np.ones((total,), np.float32),
+            "features": np.zeros((alloc, feat_dim), np.float16),
+            "target_px": np.zeros((alloc, 2), np.float32),
+            "target_crds": np.zeros((alloc, 3), np.float32),
+            "img_idx": np.zeros((alloc,), np.int32),
+            "theta": np.zeros((alloc,), np.float32),
+            "scale": np.ones((alloc,), np.float32),
         }
     else:
         buffer = {
-            "features": jnp.zeros((total, feat_dim), jnp.bfloat16),
-            "target_px": jnp.zeros((total, 2), jnp.float32),
-            "target_crds": jnp.zeros((total, 3), jnp.float32),
-            "img_idx": jnp.zeros((total,), jnp.int32),
-            "theta": jnp.zeros((total,), jnp.float32),
-            "scale": jnp.ones((total,), jnp.float32),
+            "features": jnp.zeros((alloc, feat_dim), jnp.bfloat16),
+            "target_px": jnp.zeros((alloc, 2), jnp.float32),
+            "target_crds": jnp.zeros((alloc, 3), jnp.float32),
+            "img_idx": jnp.zeros((alloc,), jnp.int32),
+            "theta": jnp.zeros((alloc,), jnp.float32),
+            "scale": jnp.ones((alloc,), jnp.float32),
         }
 
     images_dev = jnp.asarray(images_u8)
@@ -207,8 +219,9 @@ def fill_training_buffer(
         order = np.random.default_rng(p).permutation(n)
         for c0 in range(0, n, chunk):
             idx = order[c0 : c0 + chunk]
-            if len(idx) < chunk:  # pad the tail chunk (extra rows discarded)
-                idx = np.concatenate([idx, np.full(chunk - len(idx), idx[-1])])
+            n_real = len(idx)
+            if n_real < chunk:  # pad the tail chunk; padding rows discarded below
+                idx = np.concatenate([idx, np.full(chunk - n_real, idx[-1])])
             key, sub_key = jax.random.split(key)
             rows = _fill_chunk(
                 encoder_params,
@@ -220,8 +233,12 @@ def fill_training_buffer(
                 use_depth,
             )
             rows["img_idx"] = jnp.repeat(jnp.asarray(idx, jnp.int32), S)
-            n_rows = min(chunk * S, total - row)
-            if n_rows < chunk * S:
+            if n_real < chunk:
+                # drop the pad image's duplicate rows so each pass visits
+                # every image exactly once (reference epoch semantics)
+                rows = jax.tree.map(lambda r: r[: n_real * S], rows)
+            n_rows = min(n_real * S, total - row)
+            if n_rows < n_real * S:
                 rows = jax.tree.map(lambda r: r[:n_rows], rows)
                 done = True
             if host_spill:
@@ -234,5 +251,14 @@ def fill_training_buffer(
             if row >= total:
                 done = True
                 break
+
+    # cyclic-fill the bucket pad region from the real rows (bounded chunks,
+    # donated writes — no second full-size buffer)
+    pos = row
+    while pos < alloc:
+        ncopy = min(row, alloc - pos, 1 << 20)
+        src = jax.tree.map(lambda a: jax.lax.dynamic_slice_in_dim(a, 0, ncopy, 0), buffer)
+        buffer = _write_rows(buffer, src, pos)
+        pos += ncopy
 
     return buffer

@@ -46,7 +46,7 @@ from acezero_tpu.data.scene import SceneData
 from acezero_tpu.geometry.rotations import special_gramschmidt, special_procrustes
 from acezero_tpu.models.head import HeadConfig, head_apply_flat, init_head_params
 from acezero_tpu.models.posenet import init_posenet_params, posenet_apply
-from acezero_tpu.training.buffer import BufferConfig, fill_training_buffer
+from acezero_tpu.training.buffer import BufferConfig, fill_training_buffer, next_bucket
 from acezero_tpu.training.loss import ReproLossConfig, repro_loss
 from acezero_tpu.training.optim import AdamWState, adamw_init, adamw_update
 from acezero_tpu.training.schedule import (
@@ -308,14 +308,6 @@ def _train_chunk_vmapped(states, buffers, ctxs, cfg, head_cfg, num_steps):
     )(states, buffers, ctxs)
 
 
-def _next_bucket(n: int, minimum: int = 1) -> int:
-    """Round up to the next power of two (jit-shape bucketing)."""
-    b = max(minimum, 1)
-    while b < n:
-        b *= 2
-    return b
-
-
 class MappingTrainer:
     """Drives one mapping round: buffer fill + chunked fused training.
 
@@ -365,7 +357,7 @@ class MappingTrainer:
         # a power-of-two image count so jit shapes bucket across rounds
         w2c = np.linalg.inv(scene.poses_c2w.astype(np.float64)).astype(np.float32)
         n_img = len(scene)
-        n_pad = _next_bucket(n_img, 8)
+        n_pad = next_bucket(n_img, 8)
         w2c_pad = np.tile(np.eye(4, dtype=np.float32)[None], (n_pad, 1, 1))
         w2c_pad[:n_img] = w2c
         focals_pad = np.ones(n_pad, np.float32)
@@ -406,15 +398,9 @@ class MappingTrainer:
             self.buffer_cfg,
             target_maps=self._seed_target_maps(),
             host_spill=self.cfg.buffer_host_spill,
+            pad_rows_to_bucket=True,
         )
         n_rows = buffer["features"].shape[0]
-        target_rows = _next_bucket(n_rows, 4096)
-        if target_rows > n_rows and not self.cfg.buffer_host_spill:
-            # cyclic-repeat padding: identical sampling distribution up to a
-            # bounded duplicate bias, in exchange for stable jit shapes
-            idx = jnp.arange(target_rows) % n_rows
-            buffer = jax.tree.map(lambda a: a[idx], buffer)
-            n_rows = target_rows
         if self.mesh is not None and not self.cfg.buffer_host_spill:
             # shard the HBM hog across the mesh; params/state replicate and
             # XLA inserts the batch-gather + grad-reduce collectives (GSPMD)

@@ -72,3 +72,19 @@ def test_photometric_jitter_changes_values_not_geometry(rng):
     # zero rotation/scale: same masks, different photometrics
     np.testing.assert_array_equal(np.asarray(out1["masks"]), np.asarray(out2["masks"]))
     assert not np.allclose(np.asarray(out1["images"]), np.asarray(out2["images"]))
+
+
+def test_content_mask_odd_margin_matches_placement():
+    """Integer-floor mask must match decode_to_canvas placement exactly when
+    the centering margin is odd."""
+    import jax.numpy as jnp
+
+    from acezero_tpu.data.canvas_geom import content_mask
+
+    H, W = 16, 16
+    h, w = 13, 11  # odd margins: y0 = 1, x0 = 2
+    mask = np.asarray(content_mask(H, W, jnp.asarray([[h, w]], jnp.int32)))[0]
+    expected = np.zeros((H, W), bool)
+    y0, x0 = (H - h) // 2, (W - w) // 2
+    expected[y0 : y0 + h, x0 : x0 + w] = True
+    np.testing.assert_array_equal(mask, expected)

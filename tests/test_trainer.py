@@ -235,3 +235,21 @@ def test_mesh_sharded_training():
     result = trainer.train()
     assert result["iterations"] == 40
     assert np.isfinite(result["poses_w2c"]).all()
+
+
+def test_fill_buffer_tail_chunk_not_oversampled():
+    """A non-multiple-of-chunk dataset must not flood the buffer with the
+    pad image's rows (each pass visits every image once)."""
+    data = render_room_scene(5, h=64, w=96)
+    cfg = BufferConfig(
+        max_buffer_size=5 * 4 * 64, samples_per_image=64, max_dataset_passes=4,
+        use_aug=False, image_chunk=4,  # 5 images -> tail chunk of 1 padded to 4
+    )
+    enc = init_encoder_params(jax.random.PRNGKey(0))
+    buf = fill_training_buffer(
+        jax.random.PRNGKey(1), enc, data["images_u8"],
+        np.tile(np.asarray([[64, 96]], np.int32), (5, 1)), cfg,
+    )
+    counts = np.bincount(np.asarray(buf["img_idx"]), minlength=5)
+    # every image appears exactly passes * samples_per_image times
+    np.testing.assert_array_equal(counts, np.full(5, 4 * 64))

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--inlieralpha", "-ia", type=float, default=100)
     parser.add_argument("--maxpixelerror", "-maxerrr", type=float, default=100)
     parser.add_argument("--render_visualization", type=_strtobool, default=False)
+    parser.add_argument("--render_target_path", type=Path, default=Path("renderings"))
+    parser.add_argument("--render_flipped_portrait", type=_strtobool, default=False)
+    parser.add_argument("--render_pose_conf_threshold", type=int, default=5000)
+    parser.add_argument("--render_map_depth_filter", type=int, default=10)
+    parser.add_argument("--render_camera_z_offset", type=int, default=4)
+    parser.add_argument("--render_marker_size", type=float, default=0.03)
     parser.add_argument("--base_seed", type=int, default=1305)
     parser.add_argument("--confidence_threshold", type=float, default=1000)
     parser.add_argument("--max_estimates", type=int, default=-1)

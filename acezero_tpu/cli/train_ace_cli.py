@@ -96,6 +96,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pose_refinement_wait", type=int, default=0)
     p.add_argument("--pose_refinement_lr", type=float, default=0.001)
     p.add_argument("--refinement_ortho", type=str, default="gram-schmidt", choices=["gram-schmidt", "procrustes"])
+
+    # visualization flags (accepted for recipe compatibility; in this build
+    # per-step rendering is handled by the in-process pipeline/viz tools)
+    p.add_argument("--render_visualization", type=_strtobool, default=False)
+    p.add_argument("--render_target_path", type=Path, default=Path("renderings"))
+    p.add_argument("--use_existing_vis_buffer", type=Path, default=None)
+    p.add_argument("--render_flipped_portrait", type=_strtobool, default=False)
+    p.add_argument("--render_map_error_threshold", type=int, default=10)
+    p.add_argument("--render_map_depth_filter", type=int, default=100)
+    p.add_argument("--render_camera_z_offset", type=int, default=4)
+    p.add_argument("--render_marker_size", type=float, default=0.03)
     return p
 
 

@@ -141,6 +141,10 @@ def config_from_args(args: argparse.Namespace) -> AceZeroConfig:
 def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
+
+    from acezero_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     pipeline = AceZeroPipeline(config_from_args(args))
     result = pipeline.run()
     print(result["report"])

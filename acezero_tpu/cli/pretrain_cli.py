@@ -16,6 +16,10 @@ from acezero_tpu.pretrain import PretrainConfig, pretrain_encoder
 
 def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO)
+
+    from acezero_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(
         description="Pretrain the ACE feature encoder on synthetic scenes.",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,

@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
 
+    from acezero_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     use_heuristic = args.use_external_focal_length < 0
     scene = load_scene(
         args.rgb_files,

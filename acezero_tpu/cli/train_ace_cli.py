@@ -114,6 +114,10 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
 
+    from acezero_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.use_pose_seed < 0 and args.use_ace_pose_file is None and args.pose_files is None:
         raise ValueError("Either use_pose_seed or use_ace_pose_file or pose_files has to be set.")
     if (

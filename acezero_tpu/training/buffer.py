@@ -135,6 +135,58 @@ def _write_rows(buffer, rows, start):
     )
 
 
+@partial(jax.jit, donate_argnames=("buffer",), static_argnames=("cfg", "use_depth"))
+def _fill_pass(
+    buffer,
+    encoder_params,
+    images_dev,
+    sizes_dev,
+    targets_dev,
+    order,  # (n_chunks * chunk,) image indices for this pass (pre-padded)
+    key,
+    row0,  # starting buffer row for this pass
+    cfg: BufferConfig,
+    use_depth: bool,
+):
+    """One full dataset pass as a single device program.
+
+    The per-chunk Python loop costs one host round-trip per chunk (~0.3 s
+    each through the axon relay — 25x the actual encoder time); scanning the
+    chunks inside one jitted call makes a pass one dispatch.
+    """
+    chunk = cfg.image_chunk
+    S = cfg.samples_per_image
+    n_chunks = order.shape[0] // chunk
+    keys = jax.random.split(key, n_chunks)
+
+    def body(buf, inputs):
+        ci, k = inputs
+        idx = jax.lax.dynamic_slice_in_dim(order, ci * chunk, chunk, 0)
+        rows = _fill_chunk.__wrapped__(
+            encoder_params,
+            images_dev[idx],
+            sizes_dev[idx],
+            targets_dev[idx],
+            k,
+            cfg,
+            use_depth,
+        )
+        rows["img_idx"] = jnp.repeat(idx.astype(jnp.int32), S)
+        buf = jax.tree.map(
+            lambda b, r: jax.lax.dynamic_update_slice_in_dim(
+                b, r.astype(b.dtype), row0 + ci * chunk * S, 0
+            ),
+            buf,
+            rows,
+        )
+        return buf, None
+
+    buffer, _ = jax.lax.scan(
+        body, buffer, (jnp.arange(n_chunks, dtype=jnp.int32), keys)
+    )
+    return buffer
+
+
 def next_bucket(n: int, minimum: int = 1) -> int:
     """Round up to the next power of two (jit-shape bucketing)."""
     b = max(minimum, 1)
@@ -217,7 +269,31 @@ def fill_training_buffer(
         if done:
             break
         order = np.random.default_rng(p).permutation(n)
-        for c0 in range(0, n, chunk):
+
+        # fast path: all full chunks of the pass as ONE device program
+        n_full = (n // chunk) * chunk
+        if not host_spill and n_full > 0 and row + n_full * S <= total:
+            key, pass_key = jax.random.split(key)
+            buffer = _fill_pass(
+                buffer,
+                encoder_params,
+                images_dev,
+                sizes_dev,
+                targets_dev,
+                jnp.asarray(order[:n_full], jnp.int32),
+                pass_key,
+                row,
+                cfg,
+                use_depth,
+            )
+            row += n_full * S
+            if row >= total:
+                break
+            order = order[n_full:]  # tail (< chunk images) below
+            if order.size == 0:
+                continue
+
+        for c0 in range(0, len(order), chunk):
             idx = order[c0 : c0 + chunk]
             n_real = len(idx)
             if n_real < chunk:  # pad the tail chunk; padding rows discarded below

@@ -34,6 +34,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from acezero_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     log(f"devices: {jax.devices()}")
 
     from acezero_tpu.models.encoder import init_encoder_params

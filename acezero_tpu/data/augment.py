@@ -134,13 +134,29 @@ def augment_batch(
     x = jnp.clip(x, 0.0, 1.0)
     x = (x - GRAY_MEAN) / GRAY_STD
 
-    def warp_one(img, mask, theta, scale):
+    def warp_one(img, size_hw, theta, scale):
         A, b = _inverse_affine(theta, scale, center)
         out = _affine_sample(img, A, b, order=1)
-        m = _affine_sample(mask.astype(jnp.float32), A, b, order=1)
-        return out, m > 0.999
+        # the warped mask is the affine image of the content rectangle —
+        # test source coordinates analytically instead of resampling a mask
+        # image (gathers are the expensive part of the warp on TPU; this
+        # halves the fill's warp cost)
+        yy = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+        xx = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+        src_x = A[0, 0] * xx + A[0, 1] * yy + b[0]
+        src_y = A[1, 0] * xx + A[1, 1] * yy + b[1]
+        y0 = ((h - size_hw[0]) // 2).astype(jnp.float32)
+        x0 = ((w - size_hw[1]) // 2).astype(jnp.float32)
+        # half-pixel shrink so bilinear samples never blend padding in
+        m = (
+            (src_y >= y0 + 0.5)
+            & (src_y <= y0 + size_hw[0].astype(jnp.float32) - 0.5)
+            & (src_x >= x0 + 0.5)
+            & (src_x <= x0 + size_hw[1].astype(jnp.float32) - 0.5)
+        )
+        return out, m
 
-    images, masks = jax.vmap(warp_one)(x, base_mask.astype(jnp.float32) > 0, thetas, scales)
+    images, masks = jax.vmap(warp_one)(x, sizes, thetas, scales)
     # zero out padding so the encoder sees a constant background
     images = jnp.where(masks, images, 0.0)
 

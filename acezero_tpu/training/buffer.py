@@ -270,26 +270,46 @@ def fill_training_buffer(
             break
         order = np.random.default_rng(p).permutation(n)
 
-        # fast path: all full chunks of the pass as ONE device program
+        # fast path: the pass's full chunks run as a handful of fused device
+        # programs. Each program scans a segment of chunks into a bounded
+        # staging block (scan carries double-buffer, so the carry must stay
+        # ~1 GB, not the full 8.6 GB buffer), then one donated write moves
+        # the block into the big buffer — ~2 dispatches per GB instead of
+        # one per 32-image chunk (the per-chunk loop is pure host-latency:
+        # 500+ round trips, ~500 s, at the 7-Scenes-chess scale).
         n_full = (n // chunk) * chunk
         if not host_spill and n_full > 0 and row + n_full * S <= total:
-            key, pass_key = jax.random.split(key)
-            buffer = _fill_pass(
-                buffer,
-                encoder_params,
-                images_dev,
-                sizes_dev,
-                targets_dev,
-                jnp.asarray(order[:n_full], jnp.int32),
-                pass_key,
-                row,
-                cfg,
-                use_depth,
-            )
-            row += n_full * S
+            seg_chunks = max(1, min(n_full // chunk, 1_048_576 // (chunk * S)))
+            pos = 0
+            while pos < n_full:
+                seg = order[pos : pos + seg_chunks * chunk]
+                seg_full = (len(seg) // chunk) * chunk
+                if seg_full == 0:
+                    break
+                seg = seg[:seg_full]
+                key, pass_key = jax.random.split(key)
+                staging = {
+                    k: jnp.zeros((seg_full * S,) + v.shape[1:], v.dtype)
+                    for k, v in buffer.items()
+                }
+                staging = _fill_pass(
+                    staging,
+                    encoder_params,
+                    images_dev,
+                    sizes_dev,
+                    targets_dev,
+                    jnp.asarray(seg, jnp.int32),
+                    pass_key,
+                    0,
+                    cfg,
+                    use_depth,
+                )
+                buffer = _write_rows(buffer, staging, row)
+                row += seg_full * S
+                pos += seg_full
             if row >= total:
                 break
-            order = order[n_full:]  # tail (< chunk images) below
+            order = order[pos:]  # tail (< chunk images) below
             if order.size == 0:
                 continue
 

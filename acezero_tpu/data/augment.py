@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from acezero_tpu.data.canvas_geom import content_mask
 from acezero_tpu.data.images import GRAY_MEAN, GRAY_STD
+from acezero_tpu.data.warp import affine_warp_batch
 
 
 def normalize_images(images_u8: jax.Array) -> jax.Array:
@@ -70,7 +71,16 @@ def _inverse_affine(theta: jax.Array, scale: jax.Array, center_xy: jax.Array):
     return A, b
 
 
-@partial(jax.jit, static_argnames=("enabled",))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "aug_rotation_deg",
+        "aug_scale_min",
+        "aug_scale_max",
+        "aug_black_white",
+        "enabled",
+    ),
+)
 def augment_batch(
     key: jax.Array,
     images_u8: jax.Array,
@@ -134,13 +144,20 @@ def augment_batch(
     x = jnp.clip(x, 0.0, 1.0)
     x = (x - GRAY_MEAN) / GRAY_STD
 
-    def warp_one(img, size_hw, theta, scale):
-        A, b = _inverse_affine(theta, scale, center)
-        out = _affine_sample(img, A, b, order=1)
+    # gather-free batched warp (see data/warp.py): two-pass Catmull-Smith —
+    # per-image MXU resize matmuls + barrel-shift shears, no map_coordinates
+    if enabled and (aug_rotation_deg > 0.0 or aug_scale_max > aug_scale_min):
+        images = affine_warp_batch(
+            x, thetas, scales, float(aug_rotation_deg), float(aug_scale_max)
+        )
+    else:
+        images = x
+
+    def mask_one(size_hw, theta, scale):
         # the warped mask is the affine image of the content rectangle —
         # test source coordinates analytically instead of resampling a mask
-        # image (gathers are the expensive part of the warp on TPU; this
-        # halves the fill's warp cost)
+        # image (gathers/extra passes are the expensive part on TPU)
+        A, b = _inverse_affine(theta, scale, center)
         yy = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
         xx = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
         src_x = A[0, 0] * xx + A[0, 1] * yy + b[0]
@@ -148,15 +165,14 @@ def augment_batch(
         y0 = ((h - size_hw[0]) // 2).astype(jnp.float32)
         x0 = ((w - size_hw[1]) // 2).astype(jnp.float32)
         # half-pixel shrink so bilinear samples never blend padding in
-        m = (
+        return (
             (src_y >= y0 + 0.5)
             & (src_y <= y0 + size_hw[0].astype(jnp.float32) - 0.5)
             & (src_x >= x0 + 0.5)
             & (src_x <= x0 + size_hw[1].astype(jnp.float32) - 0.5)
         )
-        return out, m
 
-    images, masks = jax.vmap(warp_one)(x, sizes, thetas, scales)
+    masks = jax.vmap(mask_one)(sizes, thetas, scales)
     # zero out padding so the encoder sees a constant background
     images = jnp.where(masks, images, 0.0)
 

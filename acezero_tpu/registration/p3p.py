@@ -242,6 +242,41 @@ def p3p_grunert(world_pts: jax.Array, bearings: jax.Array):
         & jnp.isfinite(s2)
     )
 
+    # Newton polish of the distances on the ORIGINAL law-of-cosines system.
+    # The Grunert quartic amplifies f32 rounding error by orders of magnitude
+    # for small-angle / near-collinear configurations (observed: roots exact
+    # in f64 but 20+ deg of pose error in f32); three Newton steps on
+    #   g1 = s2^2 + s3^2 - 2 s2 s3 cos_a - a2
+    #   g2 = s1^2 + s3^2 - 2 s1 s3 cos_b - b2
+    #   g3 = s1^2 + s2^2 - 2 s1 s2 cos_g - c2
+    # converge quadratically back to near-machine accuracy.
+    a2e = a2[..., None]
+    c2e = c2[..., None]
+    b2e = b2[..., None]
+    ca, cb, cg = cos_a[..., None], cos_b[..., None], cos_g[..., None]
+    zero = jnp.zeros_like(s1)
+    for _ in range(3):
+        g1 = s2 * s2 + s3 * s3 - 2.0 * s2 * s3 * ca - a2e
+        g2 = s1 * s1 + s3 * s3 - 2.0 * s1 * s3 * cb - b2e
+        g3 = s1 * s1 + s2 * s2 - 2.0 * s1 * s2 * cg - c2e
+        gvec = jnp.stack([g1, g2, g3], axis=-1)[..., None]  # (..., 4, 3, 1)
+        J = jnp.stack(
+            [
+                jnp.stack([zero, 2.0 * (s2 - s3 * ca), 2.0 * (s3 - s2 * ca)], axis=-1),
+                jnp.stack([2.0 * (s1 - s3 * cb), zero, 2.0 * (s3 - s1 * cb)], axis=-1),
+                jnp.stack([2.0 * (s1 - s2 * cg), 2.0 * (s2 - s1 * cg), zero], axis=-1),
+            ],
+            axis=-2,
+        )  # (..., 4, 3, 3)
+        # guard singular Jacobians (degenerate triangles) with damping
+        Jd = J + 1e-6 * jnp.eye(3, dtype=J.dtype)
+        step = jnp.linalg.solve(Jd, gvec)[..., 0]
+        step = jnp.where(jnp.isfinite(step), step, 0.0)
+        s1 = s1 - step[..., 0]
+        s2 = s2 - step[..., 1]
+        s3 = s3 - step[..., 2]
+    valid = valid & (s1 > 0) & (s2 > 0) & (s3 > 0)
+
     # camera-frame points per candidate: (..., 4, 3, 3)
     cam_pts = jnp.stack(
         [

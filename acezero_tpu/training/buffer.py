@@ -265,6 +265,7 @@ def fill_training_buffer(
     chunk = cfg.image_chunk
     row = 0
     done = False
+    staging_cache: dict[int, dict] = {}
     for p in range(passes):
         if done:
             break
@@ -276,22 +277,28 @@ def fill_training_buffer(
         # ~1 GB, not the full 8.6 GB buffer), then one donated write moves
         # the block into the big buffer — ~2 dispatches per GB instead of
         # one per 32-image chunk (the per-chunk loop is pure host-latency:
-        # 500+ round trips, ~500 s, at the 7-Scenes-chess scale).
-        n_full = (n // chunk) * chunk
-        if not host_spill and n_full > 0 and row + n_full * S <= total:
-            seg_chunks = max(1, min(n_full // chunk, 1_048_576 // (chunk * S)))
+        # 500+ round trips, ~500 s, at the 7-Scenes-chess scale). Segments
+        # run as long as FULL chunks still fit in the remaining buffer rows —
+        # including for a pass that only partially fits (the chess-scale
+        # second pass); only the sub-chunk remainder takes the per-chunk
+        # path below.
+        if not host_spill:
+            seg_chunks = max(1, 1_048_576 // (chunk * S))
             pos = 0
-            while pos < n_full:
-                seg = order[pos : pos + seg_chunks * chunk]
-                seg_full = (len(seg) // chunk) * chunk
-                if seg_full == 0:
+            while True:
+                fit_chunks = (total - row) // (chunk * S)
+                avail_chunks = (n - pos) // chunk
+                take = min(seg_chunks, fit_chunks, avail_chunks)
+                if take <= 0:
                     break
-                seg = seg[:seg_full]
+                seg = order[pos : pos + take * chunk]
                 key, pass_key = jax.random.split(key)
-                staging = {
-                    k: jnp.zeros((seg_full * S,) + v.shape[1:], v.dtype)
-                    for k, v in buffer.items()
-                }
+                staging = staging_cache.pop(take * chunk * S, None)
+                if staging is None:
+                    staging = {
+                        k: jnp.zeros((take * chunk * S,) + v.shape[1:], v.dtype)
+                        for k, v in buffer.items()
+                    }
                 staging = _fill_pass(
                     staging,
                     encoder_params,
@@ -305,11 +312,14 @@ def fill_training_buffer(
                     use_depth,
                 )
                 buffer = _write_rows(buffer, staging, row)
-                row += seg_full * S
-                pos += seg_full
+                # _fill_pass donates its staging arg; the returned block can
+                # be reused next segment (every row gets overwritten)
+                staging_cache[take * chunk * S] = staging
+                row += take * chunk * S
+                pos += take * chunk
             if row >= total:
                 break
-            order = order[pos:]  # tail (< chunk images) below
+            order = order[pos:]  # remainder (< chunk imgs or < chunk rows)
             if order.size == 0:
                 continue
 

@@ -75,6 +75,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--num_data_workers", type=int, default=12)
     g.add_argument("--training_buffer_cpu", type=_strtobool, default=False)
     g.add_argument("--encoder_path", type=Path, default=None)
+    g.add_argument("--depth_network", type=Path, default=None,
+                   help="learned seed-depth head (.pt); default: weights/tpu_depth_v1.pt if present")
 
     g = parser.add_argument_group("registration")
     g.add_argument("--ransac_iterations", type=int, default=32)
@@ -87,6 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--iterations_output", type=int, default=500)
 
     parser.add_argument("--random_seed", type=int, default=1305)
+    parser.add_argument(
+        "--num_devices",
+        type=int,
+        default=0,
+        help="device-mesh size: 0 = all visible devices, 1 = single device, "
+        "N > 1 = 1-D data mesh over the first N devices",
+    )
     return parser
 
 
@@ -135,6 +144,8 @@ def config_from_args(args: argparse.Namespace) -> AceZeroConfig:
         random_seed=args.random_seed,
         iterations_output=args.iterations_output,
         encoder_path=args.encoder_path,
+        depth_network=args.depth_network,
+        num_devices=args.num_devices,
     )
 
 

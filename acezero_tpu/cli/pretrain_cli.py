@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch_images", type=int, default=8)
     p.add_argument("--learning_rate", type=float, default=0.002)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--low_texture_frac", type=float, default=0.0,
+                   help="fraction of texture-poor scenes in the corpus")
+    p.add_argument("--photometric", action="store_true",
+                   help="per-view exposure/vignette/noise nuisances")
+    p.add_argument("--across_frac", type=float, default=0.0,
+                   help="fraction of convergent-view (look=across) scenes")
     args = p.parse_args(argv)
 
     cfg = PretrainConfig(
@@ -44,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
         batch_images=args.batch_images,
         learning_rate=args.learning_rate,
         seed=args.seed,
+        low_texture_frac=args.low_texture_frac,
+        photometric=args.photometric,
+        across_frac=args.across_frac,
     )
     pretrain_encoder(cfg, output_path=args.output)
     return 0

@@ -89,6 +89,55 @@ def seed_scene_coordinates(
     return np.where(valid[..., None], p_world, 0.0).astype(np.float32)
 
 
+def learned_depth_estimator(
+    head_path: str | Path,
+    encoder_params: dict | None = None,
+    encoder_path: str | Path | None = None,
+) -> DepthEstimator:
+    """In-process seed-depth estimator (models.depthnet on the ACE encoder).
+
+    Hermetic replacement for the reference's torch.hub ZoeDepth: a bare
+    image-glob reconstruction works without --depth_files. Predicts stride-8
+    depth (the exact resolution `seed_scene_coordinates` consumes) and
+    nearest-upsamples back to pixel resolution for interface compatibility.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from acezero_tpu.data.images import GRAY_MEAN, GRAY_STD
+    from acezero_tpu.models.depthnet import depth_head_apply
+    from acezero_tpu.models.encoder import encoder_apply
+    from acezero_tpu.models.torch_io import load_encoder
+
+    if encoder_params is None:
+        if encoder_path is None:
+            raise ValueError("learned_depth_estimator needs encoder params or a path")
+        encoder_params = jax.tree.map(jnp.asarray, load_encoder(encoder_path))
+    head_params = jax.tree.map(jnp.asarray, load_encoder(head_path))
+
+    @jax.jit
+    def _infer(x):
+        feats = encoder_apply(encoder_params, x)
+        return depth_head_apply(head_params, feats)
+
+    def estimate(image_rgb: np.ndarray) -> np.ndarray:
+        img = np.asarray(image_rgb)
+        if img.ndim == 3:
+            gray = np.asarray(Image.fromarray(img).convert("L"), np.float32)
+        else:
+            gray = img.astype(np.float32)
+        h, w = gray.shape
+        hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+        pad = np.zeros((hp, wp), np.float32)
+        pad[:h, :w] = gray / 255.0
+        x = ((pad - GRAY_MEAN) / GRAY_STD)[None, ..., None]
+        d8 = np.asarray(_infer(jnp.asarray(x))[0], np.float64)  # (hp/8, wp/8)
+        full = np.repeat(np.repeat(d8, 8, axis=0), 8, axis=1)
+        return full[:h, :w]
+
+    return estimate
+
+
 def zoe_depth_estimator() -> DepthEstimator:
     """The reference's ZoeDepth (torch.hub) as a DepthEstimator.
 

@@ -29,13 +29,16 @@ class SyntheticScene:
     focal: float
 
 
-def _make_texture(rng: np.random.Generator, block_amp: float = 0.35):
+def _make_texture(rng: np.random.Generator, block_amp: float = 0.35, strength: float = 1.0):
+    """`strength` < 1 produces texture-poor surfaces (flat walls with faint
+    structure) — the hard regime for feature learning."""
     n_waves = 6
     freqs = np.exp(rng.uniform(np.log(0.8), np.log(30.0), n_waves))
     dirs = rng.normal(size=(n_waves, 3))
     dirs *= (freqs / np.linalg.norm(dirs, axis=1))[:, None]
     phases = rng.uniform(0, 2 * np.pi, n_waves)
-    amps = rng.uniform(0.05, 0.15, n_waves)
+    amps = rng.uniform(0.05, 0.15, n_waves) * strength
+    block_amp = block_amp * strength
     block_scale = rng.uniform(1.0, 6.0)
     hx, hy, hz = rng.integers(1, 1 << 30, 3)
 
@@ -87,10 +90,18 @@ def render_scene(
     box_half: float | None = None,
     n_occluders: int | None = None,
     look: str = "outward",
+    texture_strength: float = 1.0,
+    photometric: bool = False,
 ) -> SyntheticScene:
     """`look`: camera orientation pattern — "outward" (panorama-like ring,
     weakly conditioned view graph) or "across" (convergent views through the
-    room center: strong parallax overlap, the well-conditioned case)."""
+    room center: strong parallax overlap, the well-conditioned case).
+
+    `texture_strength` < 1 renders texture-poor surfaces; `photometric=True`
+    adds per-view exposure gain, vignetting, and sensor noise — non-multi-
+    view-consistent nuisances that real cameras have and the pure texture
+    renderer lacks (pretraining realism knobs; defaults leave the hermetic
+    test scenes bit-identical)."""
     rng = np.random.default_rng(seed)
     if focal is None:
         focal = float(rng.uniform(0.7, 1.4) * w)
@@ -100,8 +111,11 @@ def render_scene(
         spread = 0.25 * box_half
     if n_occluders is None:
         n_occluders = int(rng.integers(0, 4))
-    texture = _make_texture(rng)
-    occ_textures = [_make_texture(rng, block_amp=0.5) for _ in range(n_occluders)]
+    texture = _make_texture(rng, strength=texture_strength)
+    occ_textures = [
+        _make_texture(rng, block_amp=0.5, strength=texture_strength)
+        for _ in range(n_occluders)
+    ]
     # interior occluder boxes: depth discontinuities + close-range structure
     occ_boxes = []
     for _ in range(n_occluders):
@@ -166,6 +180,15 @@ def render_scene(
             m = tex_id == bi
             if m.any():
                 shade[m] = occ_tex(points[m])
+        if photometric:
+            gain = rng.uniform(0.75, 1.25)
+            r2 = ((uu - cx) ** 2 + (vv - cy) ** 2) / (cx**2 + cy**2)
+            vignette = 1.0 - rng.uniform(0.0, 0.35) * r2
+            shade = np.clip(
+                shade * gain * vignette + rng.normal(size=shade.shape) * rng.uniform(0.0, 0.02),
+                0.0,
+                1.0,
+            )
         images[i] = (shade * 255).astype(np.uint8)
         depths[i] = t_hit  # camera-z depth (d_cam z-component is 1)
 

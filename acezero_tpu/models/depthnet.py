@@ -1,0 +1,68 @@
+"""Monocular seed-depth head on top of the frozen feature encoder.
+
+The reference bootstraps each reconstruction seed with ZoeDepth via
+torch.hub (/root/reference/ace_zero.py:170-173, dataset_io.py:189-234) —
+unavailable in hermetic environments. This head makes the framework
+self-sufficient: a small stack of convs on the shared (frozen) ACE encoder
+features predicts per-cell depth at the encoder's stride-8 resolution —
+exactly the resolution the seed targets consume (`seed_scene_coordinates`
+subsamples the depth canvas at stride 8 anyway), so no decoder is needed.
+
+Seed depth only shapes the initial one-image map; the loop is
+self-supervised afterwards, and the final similarity-aligned metrics are
+scale-free — so relative (per-image up-to-scale) depth structure is what
+matters, which is why pretraining uses the scale-invariant log loss.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from acezero_tpu.models.common import conv2d, init_conv, relu
+
+# (name, kh, kw, cin, cout)
+_LAYERS = [
+    ("d_conv1", 3, 3, 512, 256),
+    ("d_conv2", 3, 3, 256, 128),
+    ("d_conv3", 1, 1, 128, 64),
+    ("d_conv4", 1, 1, 64, 1),
+]
+
+
+def init_depth_head_params(key: jax.Array) -> dict:
+    params = {}
+    keys = jax.random.split(key, len(_LAYERS))
+    for k, (name, kh, kw, cin, cout) in zip(keys, _LAYERS):
+        params[name] = init_conv(k, kh, kw, cin, cout)
+    return params
+
+
+def depth_head_apply(params: dict, features: jax.Array) -> jax.Array:
+    """(N, hs, ws, C) encoder features -> (N, hs, ws) metric depth (> 0).
+
+    The head predicts log-depth; exp keeps the output positive and makes the
+    scale-invariant training loss linear in the prediction.
+    """
+    x = relu(conv2d(features, params["d_conv1"], 1))
+    x = relu(conv2d(x, params["d_conv2"], 1))
+    x = relu(conv2d(x, params["d_conv3"], 1))
+    log_d = conv2d(x, params["d_conv4"], 1).astype(jnp.float32)[..., 0]
+    return jnp.exp(jnp.clip(log_d, -4.0, 6.0))
+
+
+def silog_loss(
+    pred_depth: jax.Array,
+    gt_depth: jax.Array,
+    valid: jax.Array,
+    lam: float = 0.85,
+) -> jax.Array:
+    """Eigen scale-invariant log loss over valid cells.
+
+    lam=1 ignores global scale entirely; 0.85 keeps a little metric anchor
+    (the corpus scale), matching common monodepth practice.
+    """
+    w = valid.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    d = (jnp.log(jnp.maximum(pred_depth, 1e-6)) - jnp.log(jnp.maximum(gt_depth, 1e-6))) * w
+    return jnp.sum(d * d) / n - lam * (jnp.sum(d) / n) ** 2

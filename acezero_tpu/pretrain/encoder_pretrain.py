@@ -63,14 +63,30 @@ class PretrainConfig:
     use_aug: bool = True
     seed: int = 42
     chunk_steps: int = 100
+    # corpus-hardness knobs (encoder v3): fraction of texture-poor scenes,
+    # photometric nuisances (exposure/vignette/noise), camera-pattern mix
+    low_texture_frac: float = 0.0
+    photometric: bool = False
+    across_frac: float = 0.0
 
 
 def build_corpus(cfg: PretrainConfig):
     """Render the synthetic corpus: images, GT coord maps, poses, focals."""
     images, coords, w2c, focals, scene_ids = [], [], [], [], []
+    corpus_rng = np.random.default_rng(cfg.seed)
     for s in range(cfg.num_scenes):
+        strength = 1.0
+        if corpus_rng.random() < cfg.low_texture_frac:
+            strength = float(corpus_rng.uniform(0.25, 0.6))
+        look = "across" if corpus_rng.random() < cfg.across_frac else "outward"
         scene = render_scene(
-            cfg.views_per_scene, h=cfg.image_h, w=cfg.image_w, seed=cfg.seed + s
+            cfg.views_per_scene,
+            h=cfg.image_h,
+            w=cfg.image_w,
+            seed=cfg.seed + s,
+            texture_strength=strength,
+            photometric=cfg.photometric,
+            look=look,
         )
         images.append(scene.images_u8)
         coords.append(scene_coordinate_maps(scene))

@@ -84,9 +84,13 @@ class AceZeroConfig:
     base_seed: int = 2089  # trainer seed (train_ace.py:30)
     iterations_output: int = 500
     encoder_path: Path | None = None  # torch .pt encoder weights
+    depth_network: Path | None = None  # learned seed-depth head weights
     registration_frame_chunk: int = 64
 
     # internal knobs (not in the reference surface)
+    # device-mesh size: 0 = all visible devices, 1 = single device (no mesh),
+    # N>1 = 1-D 'data' mesh over the first N devices (SURVEY.md §2.3)
+    num_devices: int = 0
     num_decode_workers: int = 16
     refinement_steps: int = 8  # registrar refit loop length
     extras: dict = field(default_factory=dict)

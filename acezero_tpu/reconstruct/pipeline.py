@@ -66,6 +66,19 @@ class AceZeroPipeline:
         self.out = Path(cfg.results_folder)
         self.out.mkdir(parents=True, exist_ok=True)
 
+        # device mesh (SURVEY.md §2.3): buffer rows + frame batches shard
+        # over a 1-D 'data' axis, params/state replicate, XLA inserts the
+        # collectives. One device -> no mesh (plain single-chip programs).
+        n_dev = cfg.num_devices if cfg.num_devices > 0 else len(jax.devices())
+        n_dev = min(n_dev, len(jax.devices()))
+        if n_dev > 1:
+            from acezero_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n_dev)
+            _logger.info("Using a %d-device data mesh: %s", n_dev, self.mesh)
+        else:
+            self.mesh = None
+
         use_heuristic = cfg.use_external_focal_length < 0
         self.scene = load_scene(
             cfg.rgb_files,
@@ -99,6 +112,19 @@ class AceZeroPipeline:
         self.depth_files = (
             get_files_from_glob(cfg.depth_files) if cfg.depth_files is not None else None
         )
+        if self.depth_files is None and self.depth_estimator is None:
+            # bare image-glob UX (reference ace_zero.py:170-173 boots ZoeDepth
+            # automatically): fall back to the learned in-process estimator
+            depth_net = cfg.depth_network or Path(__file__).resolve().parents[2] / (
+                "weights/tpu_depth_v1.pt"
+            )
+            if Path(depth_net).exists():
+                from acezero_tpu.data.depth import learned_depth_estimator
+
+                self.depth_estimator = learned_depth_estimator(
+                    depth_net, encoder_params=self.encoder_params
+                )
+                _logger.info("Using learned seed-depth estimator: %s", depth_net)
 
         if cfg.render_visualization:
             from acezero_tpu.viz import ReconstructionVisualizer, VizConfig
@@ -237,6 +263,7 @@ class AceZeroPipeline:
             self._base_train_cfg(cfg.seed_iterations, use_depth=True, refine=False),
             self._buffer_cfg(),
             base_seed=cfg.base_seed,
+            mesh=self.mesh,
         )
         with stage("seed_mapping", trace=True):
             result = trainer.train()
@@ -250,6 +277,7 @@ class AceZeroPipeline:
             self.head_cfg,
             self.scene,
             self._registration_cfg(max_estimates=1000),
+            mesh=self.mesh,
         )
         write_pose_file(self.out / f"poses_{iteration_id}_fastcheck.txt", entries)
         rate = registration_rates(
@@ -267,69 +295,67 @@ class AceZeroPipeline:
         """
         import jax.numpy as jnp
 
-        from acezero_tpu.training.buffer import fill_training_buffer
-        from acezero_tpu.training.optim import adamw_init
-        from acezero_tpu.training.schedule import init_schedule
-        from acezero_tpu.training.trainer import (
-            TrainState,
-            _train_chunk_vmapped,
-        )
-        from acezero_tpu.models.head import init_head_params
-        from acezero_tpu.data.depth import seed_scene_coordinates
+        from acezero_tpu.training.trainer import _train_chunk_vmapped
 
         cfg = self.cfg
         train_cfg = self._base_train_cfg(cfg.seed_iterations, use_depth=True, refine=False)
-        buffer_cfg = self._buffer_cfg()
+        if train_cfg.buffer_host_spill:
+            # 1-image seed buffers are a few thousand rows — host spill is
+            # pointless and the vmapped stage needs device arrays
+            from dataclasses import replace as _replace
+
+            train_cfg = _replace(train_cfg, buffer_host_spill=False)
         S = len(seeds)
         frames = [int(s * len(self.scene)) for s in seeds]
 
         key = jax.random.PRNGKey(cfg.base_seed)
         buffers, ctxs, states = [], [], []
-        hc, wc = self.scene.canvas_hw
+        trainers = []
         for si, frame in enumerate(frames):
-            depth_canvas = self._seed_depth_canvas(frame)
-            target_map = seed_scene_coordinates(
-                depth_canvas, float(self.scene.focals_canvas[frame]), np.eye(4)
-            )[None]
-            key, k_fill, k_head, k_train = jax.random.split(key, 4)
-            buffers.append(
-                fill_training_buffer(
-                    k_fill,
-                    self.encoder_params,
-                    self.scene.images.canvases[frame : frame + 1],
-                    self.scene.images.sizes[frame : frame + 1],
-                    buffer_cfg,
-                    target_maps=target_map,
-                )
+            # ONE construction path with _map_seed / the main loop: a
+            # MappingTrainer per seed builds its buffer + state; only the
+            # train loop itself is replaced by the vmapped chunk program
+            seed_scene = self.scene.subset(np.asarray([frame]))
+            seed_scene.poses_c2w = np.eye(4, dtype=np.float32)[None]
+            seed_scene.pose_valid = np.ones(1, bool)
+            seed_scene.depth_maps[0] = self._seed_depth_canvas(frame)
+
+            trainer = MappingTrainer(
+                seed_scene,
+                self.encoder_params,
+                self.head_cfg,
+                train_cfg,
+                self._buffer_cfg(),
+                base_seed=cfg.base_seed + si,
             )
-            ctxs.append(
-                {
-                    "poses_w2c": jnp.asarray(np.eye(4, dtype=np.float32)[:3][None]),
-                    "focals": jnp.asarray(self.scene.focals_canvas[frame : frame + 1]),
-                    "ppx": jnp.asarray(wc / 2.0, jnp.float32),
-                    "ppy": jnp.asarray(hc / 2.0, jnp.float32),
-                }
-            )
-            head_params = init_head_params(k_head, self.head_cfg, jnp.zeros(3))
-            states.append(
-                TrainState(
-                    head_params=head_params,
-                    head_opt=adamw_init(head_params),
-                    pose_params={},
-                    pose_opt=adamw_init({}),
-                    focal_g=jnp.asarray(0.0, jnp.float32),
-                    focal_opt=adamw_init(jnp.asarray(0.0, jnp.float32)),
-                    sched=init_schedule(train_cfg.schedule),
-                    iteration=jnp.asarray(0, jnp.int32),
-                    nan_steps=jnp.asarray(0, jnp.int32),
-                    key=k_train,
-                )
-            )
+            key, k_fill, k_train = jax.random.split(key, 3)
+            buffers.append(trainer.build_buffer(k_fill, shard=False))
+            states.append(trainer.build_state(k_train, replicate_on_mesh=False))
+            ctxs.append(trainer.ctx)
+            trainers.append(trainer)
 
         stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
         state_s = stack(states)
         buffer_s = stack(buffers)
         ctx_s = stack(ctxs)
+
+        if self.mesh is not None:
+            # seed count (5) rarely divides the mesh; shard the buffer ROW
+            # axis (axis 1 under the stacked seed axis) instead — the same
+            # data-parallel layout as single-map training, vmapped over seeds
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from acezero_tpu.parallel.mesh import DATA_AXIS, replicate
+
+            def shard_axis1(x):
+                if x.ndim >= 2 and x.shape[1] % self.mesh.devices.size == 0:
+                    spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+                    return jax.device_put(x, NamedSharding(self.mesh, spec))
+                return jax.device_put(x, NamedSharding(self.mesh, P()))
+
+            buffer_s = jax.tree.map(shard_axis1, buffer_s)
+            state_s = replicate(state_s, self.mesh)
+            ctx_s = replicate(ctx_s, self.mesh)
 
         import time as _time
 
@@ -357,6 +383,7 @@ class AceZeroPipeline:
             self.head_cfg,
             self.scene,
             self._registration_cfg(max_estimates=1000),
+            mesh=self.mesh,
         )
 
         results = []
@@ -387,6 +414,7 @@ class AceZeroPipeline:
                 self.scene,
                 self._registration_cfg(),
                 focal_override_orig=focal_override,
+                mesh=self.mesh,
             )
         write_pose_file(self.out / f"poses_{iteration_id}.txt", entries)
         if self.visualizer is not None:
@@ -413,8 +441,20 @@ class AceZeroPipeline:
             self.visualizer.record_registration(e.rgb_file, e.confidence, it_num)
         poses = np.stack([e.pose_c2w for e in entries])
         confs = np.asarray([e.confidence for e in entries])
-        for _ in range(8):
-            self.visualizer.render_reloc_frame(poses, confs)
+        # progressive reveal: queries pop in group by group, like the
+        # reference's one-frame-per-query reloc phase
+        # (/root/reference/register_mapping.py:267-271), at a bounded frame
+        # budget per round
+        n = len(entries)
+        groups = np.array_split(np.arange(n), min(12, n))
+        shown = 0
+        for g in groups:
+            shown += len(g)
+            self.visualizer.render_reloc_frame(
+                poses[:shown],
+                confs[:shown],
+                caption=f"{iteration_id}: {shown}/{n} images queried",
+            )
         self.visualizer.save_state(self.out / "renderings" / f"{iteration_id}_register.pkl")
 
     def _mapping_scene_from_entries(self, entries: list[PoseFileEntry]) -> SceneData:
@@ -501,6 +541,21 @@ class AceZeroPipeline:
                 warm = cfg.warmstart and (iteration > 1 or cfg.seed_network is not None)
                 init_head = head_params if warm else None
 
+            frame_cb = None
+            if self.visualizer is not None:
+                max_it = train_cfg.schedule.iterations
+
+                def frame_cb(it, poses_w2c, _id=iteration_id, _max=max_it):
+                    c2w = np.linalg.inv(
+                        np.concatenate(
+                            [poses_w2c, np.tile([[[0, 0, 0, 1.0]]], (len(poses_w2c), 1, 1))],
+                            axis=1,
+                        )
+                    )
+                    self.visualizer.render_mapping_frame(
+                        c2w, caption=f"{_id} · step {it}", progress=it / max(_max, 1)
+                    )
+
             trainer = MappingTrainer(
                 mapping_scene,
                 self.encoder_params,
@@ -509,6 +564,8 @@ class AceZeroPipeline:
                 self._buffer_cfg(),
                 head_params=init_head,
                 base_seed=cfg.base_seed,
+                mesh=self.mesh,
+                frame_callback=frame_cb,
             )
             with stage("mapping", trace=True):
                 result = trainer.train()

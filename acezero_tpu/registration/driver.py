@@ -104,10 +104,14 @@ def register_frames_multi(
     head_cfg: HeadConfig,
     scene: SceneData,
     cfg: RegistrationConfig,
+    mesh=None,
 ) -> list[list[PoseFileEntry]]:
     """Register frames against several heads sharing one encoder pass.
 
-    Returns one entry list per head (same frame order)."""
+    Returns one entry list per head (same frame order). With a mesh, the
+    frame axis shards across devices (heads are tiny and replicate) — seed
+    scoring is a full-dataset registration x S heads, so this is the same
+    data-parallel layout as `register_frames`."""
     S = len(head_params_list)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *head_params_list)
     n = len(scene)
@@ -118,6 +122,15 @@ def register_frames_multi(
     key = jax.random.PRNGKey(cfg.base_seed)
     images, sizes = scene.images.canvases, scene.images.sizes
     chunk = cfg.frame_chunk
+    if mesh is not None:
+        chunk = -(-chunk // mesh.devices.size) * mesh.devices.size
+
+    def _maybe_shard(tree):
+        if mesh is None:
+            return tree
+        from acezero_tpu.parallel.mesh import shard_rows
+
+        return shard_rows(tree, mesh)
     results: list[list[PoseFileEntry]] = [[] for _ in range(S)]
     t0 = time.time()
     for c0 in range(0, len(order), chunk):
@@ -130,9 +143,9 @@ def register_frames_multi(
             encoder_params,
             stacked,
             head_cfg,
-            jnp.asarray(images[idx_p]),
-            jnp.asarray(sizes[idx_p]),
-            jnp.asarray(scene.focals_canvas[idx_p], jnp.float32),
+            _maybe_shard(jnp.asarray(images[idx_p])),
+            _maybe_shard(jnp.asarray(sizes[idx_p])),
+            _maybe_shard(jnp.asarray(scene.focals_canvas[idx_p], jnp.float32)),
             keys,
             cfg.ransac,
         )
@@ -220,14 +233,12 @@ def register_frames(
         return shard_rows(tree, mesh)
 
     entries: list[PoseFileEntry] = []
+    failed_idx: list[int] = []
+    entry_slot: dict[int, int] = {}
     t0 = time.time()
-    for c0 in range(0, len(order), chunk):
-        idx = order[c0 : c0 + chunk]
-        pad = chunk - len(idx)
-        idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, chunk)
-        out = _register_chunk(
+
+    def _run_chunk(idx_p, keys, ransac_cfg):
+        return _register_chunk(
             encoder_params,
             head_params,
             head_cfg,
@@ -235,20 +246,65 @@ def register_frames(
             _maybe_shard(jnp.asarray(sizes[idx_p])),
             _maybe_shard(jnp.asarray(focals_canvas[idx_p], jnp.float32)),
             _maybe_shard(keys),
-            cfg.ransac,
+            ransac_cfg,
         )
+
+    for c0 in range(0, len(order), chunk):
+        idx = order[c0 : c0 + chunk]
+        pad = chunk - len(idx)
+        idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, chunk)
+        out = _run_chunk(idx_p, keys, cfg.ransac)
         poses_c2w = np.asarray(out["pose_c2w"], np.float64)
         confs = np.asarray(out["inlier_count"])
+        valids = np.asarray(out["valid"])
         for j, i in enumerate(idx):
-            pose_w2c = np.linalg.inv(poses_c2w[j])
+            if not valids[j]:
+                failed_idx.append(int(i))
+            entry_slot[int(i)] = len(entries)
             entries.append(
                 PoseFileEntry(
                     rgb_file=scene.rgb_files[i],
-                    pose_w2c=pose_w2c,
+                    pose_w2c=np.linalg.inv(poses_c2w[j]),
                     focal_length=float(focals_orig[i]),
                     confidence=float(confs[j]),
                 )
             )
+
+    # total-sampling-failure fallback: frames where no minimal set validated
+    # across hypotheses x max_tries draws get one more pass with a 4x try
+    # budget (the reference keeps drawing lazily up to 1M times,
+    # /root/reference/dsacstar/dsacstar_util.h:158-221; eager batching makes
+    # that prohibitive up front but cheap as a retry for the rare failures)
+    if failed_idx and cfg.ransac.max_tries < 256:
+        from dataclasses import replace as _replace
+
+        retry_cfg = _replace(cfg.ransac, max_tries=cfg.ransac.max_tries * 4)
+        _logger.info(
+            "Retrying %d total-sampling-failure frames with %d tries.",
+            len(failed_idx), retry_cfg.max_tries,
+        )
+        farr = np.asarray(failed_idx)
+        for c0 in range(0, len(farr), chunk):
+            idx = farr[c0 : c0 + chunk]
+            pad = chunk - len(idx)
+            idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, chunk)
+            out = _run_chunk(idx_p, keys, retry_cfg)
+            poses_c2w = np.asarray(out["pose_c2w"], np.float64)
+            confs = np.asarray(out["inlier_count"])
+            valids = np.asarray(out["valid"])
+            for j, i in enumerate(idx):
+                if valids[j]:
+                    slot = entry_slot[int(i)]
+                    entries[slot] = PoseFileEntry(
+                        rgb_file=entries[slot].rgb_file,
+                        pose_w2c=np.linalg.inv(poses_c2w[j]),
+                        focal_length=entries[slot].focal_length,
+                        confidence=float(confs[j]),
+                    )
     dt = time.time() - t0
     n_success = sum(e.confidence > cfg.confidence_threshold for e in entries)
     _logger.info(

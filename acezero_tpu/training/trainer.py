@@ -332,8 +332,13 @@ class MappingTrainer:
         head_params: dict | None = None,
         base_seed: int = 2089,
         mesh=None,
+        frame_callback=None,
     ):
         self.mesh = mesh  # jax.sharding.Mesh with a 'data' axis, or None
+        # optional `(iteration, poses_w2c (N,3,4) np) -> None` visualization
+        # hook, fired every iterations_output steps like the reference's
+        # render_mapping_frame (/root/reference/ace_trainer.py:675-679)
+        self.frame_callback = frame_callback
         self.scene = scene
         self.cfg = cfg
         self.buffer_cfg = buffer_cfg
@@ -386,10 +391,12 @@ class MappingTrainer:
             )
         return maps
 
-    def train(self) -> dict:
-        t0 = time.time()
-        self.key, k_fill, k_train = jax.random.split(self.key, 3)
+    def build_buffer(self, k_fill: jax.Array, shard: bool = True):
+        """Fill (and optionally mesh-shard) the patch buffer.
 
+        The single construction path shared by normal mapping rounds and the
+        vmapped seed-parallel stage (which stacks S un-sharded buffers and
+        shards the row axis under the seed axis instead)."""
         buffer = fill_training_buffer(
             k_fill,
             self.encoder_params,
@@ -400,20 +407,20 @@ class MappingTrainer:
             host_spill=self.cfg.buffer_host_spill,
             pad_rows_to_bucket=True,
         )
-        n_rows = buffer["features"].shape[0]
-        if self.mesh is not None and not self.cfg.buffer_host_spill:
+        if shard and self.mesh is not None and not self.cfg.buffer_host_spill:
             # shard the HBM hog across the mesh; params/state replicate and
             # XLA inserts the batch-gather + grad-reduce collectives (GSPMD)
             from acezero_tpu.parallel.mesh import replicate, shard_rows
 
+            n_rows = buffer["features"].shape[0]
             aligned = (n_rows // self.mesh.devices.size) * self.mesh.devices.size
             buffer = jax.tree.map(lambda a: a[:aligned], buffer)
             buffer = shard_rows(buffer, self.mesh)
             self.ctx = replicate(self.ctx, self.mesh)
-            n_rows = aligned
-        fill_time = time.time() - t0
-        _logger.info("Filled training buffer: %d rows in %.1fs", n_rows, fill_time)
+        return buffer
 
+    def build_state(self, k_train: jax.Array, replicate_on_mesh: bool = True) -> TrainState:
+        """Fresh optimizer/schedule/refiner state for this trainer's config."""
         cfg = self.cfg
         if cfg.pose_refinement == "naive":
             pose_params = {"pose_buffer": self.ctx["poses_w2c"]}
@@ -435,10 +442,23 @@ class MappingTrainer:
             nan_steps=jnp.asarray(0, jnp.int32),
             key=k_train,
         )
-        if self.mesh is not None:
+        if replicate_on_mesh and self.mesh is not None:
             from acezero_tpu.parallel.mesh import replicate
 
             state = replicate(state, self.mesh)
+        return state
+
+    def train(self) -> dict:
+        t0 = time.time()
+        self.key, k_fill, k_train = jax.random.split(self.key, 3)
+
+        buffer = self.build_buffer(k_fill)
+        n_rows = buffer["features"].shape[0]
+        fill_time = time.time() - t0
+        _logger.info("Filled training buffer: %d rows in %.1fs", n_rows, fill_time)
+
+        cfg = self.cfg
+        state = self.build_state(k_train)
 
         train_start = time.time()
         last_logged = 0
@@ -474,6 +494,10 @@ class MappingTrainer:
                         float(inl[-1]) * 100,
                         time.time() - t0,
                     )
+                if self.frame_callback is not None:
+                    n_img = len(self.scene)
+                    poses = np.asarray(self.current_poses(state))[:n_img]
+                    self.frame_callback(it, poses)
                 last_logged = it
             if it >= int(state.sched.max_iterations):
                 break

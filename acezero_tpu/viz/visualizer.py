@@ -153,25 +153,60 @@ class ReconstructionVisualizer:
             view, self.cfg.focal, self.cfg.frame_h, self.cfg.frame_w,
         )
 
-    def render_mapping_frame(self, poses_c2w: np.ndarray) -> Path:
-        """One frame of the mapping phase: cloud + current refined cameras."""
-        colors = np.tile(np.array([[0.3, 0.5, 1.0]]), (len(poses_c2w), 1))
-        return self._write(self._render(poses_c2w, colors))
+    def render_mapping_frame(
+        self,
+        poses_c2w: np.ndarray,
+        caption: str | None = None,
+        progress: float | None = None,
+    ) -> Path:
+        """One frame of the mapping phase: cloud + current refined cameras,
+        with the phase caption and training loading bar (reference renders
+        one such frame every `iterations_output` steps,
+        /root/reference/ace_trainer.py:675-679)."""
+        from acezero_tpu.viz.overlay import draw_caption, draw_loading_bar
 
-    def render_reloc_frame(self, poses_c2w: np.ndarray, confidences: np.ndarray) -> Path:
-        """One frame of the relocalization phase: confidence-colored cameras."""
-        return self._write(self._render(poses_c2w, _conf_color(confidences, self.cfg.conf_max)))
+        colors = np.tile(np.array([[0.3, 0.5, 1.0]]), (len(poses_c2w), 1))
+        img = self._render(poses_c2w, colors)
+        if caption:
+            img = draw_caption(img, "Neural Mapping", caption)
+        if progress is not None:
+            img = draw_loading_bar(img, progress, "training the scene map")
+        return self._write(img)
+
+    def render_reloc_frame(
+        self,
+        poses_c2w: np.ndarray,
+        confidences: np.ndarray,
+        caption: str | None = None,
+    ) -> Path:
+        """One frame of the relocalization phase: confidence-colored cameras
+        plus the confidence histogram (reference ace_visualizer.py:917-1018)."""
+        from acezero_tpu.viz.overlay import draw_caption, draw_conf_histogram
+
+        img = self._render(poses_c2w, _conf_color(confidences, self.cfg.conf_max))
+        if caption:
+            img = draw_caption(img, "Registration", caption)
+        img = draw_conf_histogram(
+            img, np.asarray(confidences, np.float64), self.cfg.conf_threshold
+        )
+        return self._write(img)
 
     def render_final_sweep(self, poses_c2w: np.ndarray, first_iterations: np.ndarray,
                            num_frames: int = 150) -> list[Path]:
         """Orbit the finished scene; cameras colored by first-registered
         iteration (render_final_sweep.py analogue)."""
+        from acezero_tpu.viz.overlay import draw_caption
+
         max_it = max(int(first_iterations.max()), 1) if first_iterations.size else 1
         t = (first_iterations / max_it)[:, None]
         colors = np.concatenate([t, 1.0 - 0.5 * t, 1.0 - t], axis=1)
         out = []
         for _ in range(num_frames):
-            out.append(self._write(self._render(poses_c2w, colors)))
+            img = self._render(poses_c2w, colors)
+            img = draw_caption(
+                img, "Reconstruction", f"{len(poses_c2w)} cameras, colored by registration round"
+            )
+            out.append(self._write(img))
         return out
 
     # ------------------------------------------------------------- video

@@ -138,18 +138,31 @@ def main() -> int:
         reg_fps = B / (time.time() - t0)
         log(f"registration: {reg_fps:.1f} frames/s (32 hyps, 60x80 cells)")
     except Exception as exc:  # noqa: BLE001
+        reg_fps = None
         log(f"registration bench skipped: {exc}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "mapping_train_steps_per_sec",
-                "value": round(steps_per_sec, 1),
-                "unit": "steps/s (batch 5120)",
-                "vs_baseline": round(steps_per_sec / BASELINE_TRAIN_STEPS_PER_SEC, 2),
-            }
-        )
-    )
+    # ONE JSON line on stdout (driver contract); secondary metrics +
+    # baseline provenance ride as extra keys on the same object
+    result = {
+        "metric": "mapping_train_steps_per_sec",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s (batch 5120)",
+        "vs_baseline": round(steps_per_sec / BASELINE_TRAIN_STEPS_PER_SEC, 2),
+        "baseline_provenance": (
+            "DERIVED, not measured: 104 steps/s = 25k iterations in ~4 min "
+            "on a V100 (ACE paper 'mapping in 5 minutes' minus ~1 min "
+            "buffer fill), fp16 autocast, reference recipe"
+        ),
+        "secondary": {},
+    }
+    if reg_fps is not None:
+        result["secondary"]["registration_frames_per_sec"] = {
+            "value": round(reg_fps, 1),
+            "unit": "frames/s (32 hyps, 60x80 cells, one chip)",
+            "baseline": "~20-30 frames/s, reference DSAC* C++ on 12 CPU threads (measured r1)",
+            "vs_baseline": round(reg_fps / 25.0, 2),
+        }
+    print(json.dumps(result))
     return 0
 
 

@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""Held-out accuracy benchmark: scenes the framework was never tuned on.
+
+Addresses the "accuracy evidence is synthetic and self-tuned" critique: the
+scene family below uses generator seeds (7000+) and type mixes never touched
+during development, spanning the tight-geometry 7-Scenes-chess-like regime
+plus harder variants (occluders, photometric nuisances, texture-poor walls,
+outward-looking rings). Each scene runs R times with different pipeline
+seeds; the report gives the full distribution, not the best run.
+
+Usage:
+  python scripts/heldout_benchmark.py --out results/heldout \
+      --encoder_path weights/tpu_encoder_v3.pt --runs 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+import sys
+
+sys.path.insert(0, str(REPO))
+
+_logger = logging.getLogger("heldout")
+
+# (name, generator kwargs) — seeds 7000+ are reserved for this file and must
+# never be used in tests or pretraining corpora
+SCENES = [
+    ("chesslike_a", dict(seed=7001, look="across", focal=520.0, n_occluders=2)),
+    ("chesslike_b", dict(seed=7002, look="across", focal=560.0, n_occluders=3)),
+    ("photometric", dict(seed=7003, look="across", focal=540.0, photometric=True)),
+    ("lowtexture", dict(seed=7004, look="across", focal=520.0, texture_strength=0.5)),
+    ("outward_ring", dict(seed=7005, look="outward", focal=500.0)),
+]
+
+
+def make_scene_dir(base: Path, name: str, kwargs: dict, views: int, h: int, w: int) -> Path:
+    from PIL import Image
+
+    from acezero_tpu.data.synthetic import render_scene
+
+    out = base / "scenes" / name
+    if (out / "focal_length.txt").exists():
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    scene = render_scene(views, h=h, w=w, **kwargs)
+    for i in range(views):
+        Image.fromarray(scene.images_u8[i]).save(out / f"frame_{i:04d}.png")
+        np.save(out / f"frame_{i:04d}_depth.npy", scene.depth[i])
+        np.savetxt(out / f"frame_{i:04d}_pose.txt", scene.poses_c2w[i])
+    (out / "focal_length.txt").write_text(f"{scene.focal}\n")
+    return out
+
+
+def run_one(scene_dir: Path, out_dir: Path, encoder_path: Path, run_seed: int,
+            use_depth_files: bool) -> dict:
+    from acezero_tpu.evalpose import evaluate_poses
+    from acezero_tpu.io.pose_files import load_pose_files_glob, read_pose_file
+    from acezero_tpu.reconstruct import AceZeroConfig, AceZeroPipeline
+
+    focal = float((scene_dir / "focal_length.txt").read_text())
+    cfg = AceZeroConfig(
+        rgb_files=str(scene_dir / "*.png"),
+        results_folder=out_dir,
+        depth_files=str(scene_dir / "*_depth.npy") if use_depth_files else None,
+        use_external_focal_length=focal,
+        encoder_path=encoder_path,
+        random_seed=run_seed,
+        base_seed=run_seed + 784,
+    )
+    t0 = time.time()
+    pipeline = AceZeroPipeline(cfg)
+    result = pipeline.run()
+    wall = time.time() - t0
+
+    entries = read_pose_file(out_dir / "poses_final.txt")
+    gt = load_pose_files_glob(str(scene_dir / "*_pose.txt"))
+    errors = evaluate_poses(entries, gt, alignment_conf_threshold=500)
+    return {
+        "acc_5cm5deg": errors.accuracy,  # percent
+        "median_rot_deg": errors.median_rot_deg,
+        "median_t_cm": errors.median_trans_cm,
+        "reg_rate_500": result["registration_rates"][0],
+        "iterations": result["iterations"],
+        "wall_minutes": wall / 60.0,
+    }
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", type=Path, default=REPO / "results" / "heldout")
+    p.add_argument("--encoder_path", type=Path, default=REPO / "weights" / "tpu_encoder_v2.pt")
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--views", type=int, default=60)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--scenes", type=str, default=None, help="comma list to subset")
+    p.add_argument("--learned_depth", action="store_true",
+                   help="use the learned seed-depth estimator instead of depth files")
+    args = p.parse_args(argv)
+
+    from acezero_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    names = set(args.scenes.split(",")) if args.scenes else None
+    records = []
+    report_path = args.out / "REPORT.jsonl"
+    args.out.mkdir(parents=True, exist_ok=True)
+    for name, kwargs in SCENES:
+        if names and name not in names:
+            continue
+        scene_dir = make_scene_dir(args.out, name, kwargs, args.views, args.height, args.width)
+        for r in range(args.runs):
+            run_dir = args.out / f"{name}_run{r}"
+            rec = {"scene": name, "run": r}
+            try:
+                rec.update(
+                    run_one(scene_dir, run_dir, args.encoder_path, 1305 + 17 * r,
+                            use_depth_files=not args.learned_depth)
+                )
+            except Exception as exc:  # noqa: BLE001
+                rec["error"] = repr(exc)
+                _logger.exception("%s run %d failed", name, r)
+            records.append(rec)
+            with open(report_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            _logger.info("RESULT %s", json.dumps(rec))
+
+    # summary table
+    by_scene: dict[str, list] = {}
+    for rec in records:
+        if "acc_5cm5deg" in rec:
+            by_scene.setdefault(rec["scene"], []).append(rec["acc_5cm5deg"])
+    lines = ["| scene | runs | acc@5cm/5deg (min / median / max) |", "|---|---|---|"]
+    for name, accs in by_scene.items():
+        accs = sorted(accs)
+        lines.append(
+            f"| {name} | {len(accs)} | {accs[0]:.1f}% / "
+            f"{accs[len(accs)//2]:.1f}% / {accs[-1]:.1f}% |"
+        )
+    summary = "\n".join(lines)
+    (args.out / "REPORT.md").write_text(summary + "\n")
+    print(summary)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

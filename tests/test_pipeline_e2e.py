@@ -29,6 +29,7 @@ def scene_dir(tmp_path_factory):
     return out, data
 
 
+@pytest.mark.slow
 def test_full_reconstruction_loop(scene_dir, tmp_path):
     scene_path, data = scene_dir
     cfg = AceZeroConfig(
@@ -54,7 +55,23 @@ def test_full_reconstruction_loop(scene_dir, tmp_path):
         final_refit=False,
     )
     pipeline = AceZeroPipeline(cfg)
+
+    # the conftest forces an 8-device CPU mesh; the production pipeline must
+    # construct and use it (num_devices=0 -> all visible devices)
+    import jax
+
+    assert pipeline.mesh is not None
+    assert pipeline.mesh.devices.size == len(jax.devices()) == 8
+
     result = pipeline.run()
+
+    # GSPMD actually ran: the trained head came out of mesh-sharded programs
+    # with a NamedSharding spanning all mesh devices (replicated params)
+    from jax.sharding import NamedSharding
+
+    leaf = jax.tree.leaves(result["head_params"])[0]
+    assert isinstance(leaf.sharding, NamedSharding)
+    assert leaf.sharding.mesh.devices.size == 8
 
     out = tmp_path / "out"
     # artifacts: seed heads, iteration heads, pose files in reference format

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from acezero_tpu.data.synthetic import render_scene, scene_coordinate_maps
@@ -25,6 +26,7 @@ def test_synthetic_scene_consistency():
     assert np.median(err) < 0.1, f"self-reprojection err {np.median(err)}"
 
 
+@pytest.mark.slow
 def test_pretrain_smoke_loss_decreases():
     cfg = PretrainConfig(
         num_scenes=2,

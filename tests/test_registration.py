@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -154,6 +155,7 @@ def _pose_errors(pose_c2w_est, pose_w2c_true):
     return t_err, r_err
 
 
+@pytest.mark.slow
 def test_estimate_pose_clean_scene(rng):
     pts_w, pose_w2c, grid, focal, ppx, ppy = _render_synthetic_frame(rng)
     cfg = RansacConfig(hypotheses=16, max_tries=8, refinement_steps=4)
@@ -175,6 +177,7 @@ def test_estimate_pose_clean_scene(rng):
     assert int(out["inlier_count"]) > 0.95 * pts_w.shape[0] * pts_w.shape[1]
 
 
+@pytest.mark.slow
 def test_estimate_pose_with_outliers(rng):
     pts_w, pose_w2c, grid, focal, ppx, ppy = _render_synthetic_frame(
         rng, noise=0.005, outlier_frac=0.4
@@ -222,6 +225,7 @@ def test_estimate_pose_respects_mask(rng):
     assert int(out["inlier_count"]) <= int(mask.sum())
 
 
+@pytest.mark.slow
 def test_estimate_poses_batch(rng):
     frames = []
     poses = []
@@ -248,6 +252,7 @@ def test_estimate_poses_batch(rng):
         assert t_err < 0.02 and r_err < 1.0, f"frame {i}: {t_err} {r_err}"
 
 
+@pytest.mark.slow
 def test_estimate_pose_degenerate_returns_invalid(rng):
     # all scene coords identical -> no valid hypothesis
     pts_w = np.zeros((8, 8, 3))
@@ -268,6 +273,7 @@ def test_estimate_pose_degenerate_returns_invalid(rng):
     np.testing.assert_allclose(np.asarray(out["pose_c2w"]), np.eye(4))
 
 
+@pytest.mark.slow
 def test_register_frames_mesh_sharded():
     """Registration driver with the frame axis sharded over an 8-device mesh."""
     import sys

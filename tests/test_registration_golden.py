@@ -68,6 +68,7 @@ def _bearings(px, f, ppx, ppy):
     return b / np.linalg.norm(b, axis=-1, keepdims=True)
 
 
+@pytest.mark.slow
 class TestP3PGolden:
     def test_candidates_cover_cv2_solutions(self):
         """Every cv2.solveP3P solution must appear among our candidates."""
@@ -236,6 +237,7 @@ class TestLMGolden:
             assert np.linalg.norm(np.asarray(t_j) - tcv.ravel()) < 0.01
 
 
+@pytest.mark.slow
 class TestFullRegistrarGolden:
     """estimate_pose vs cv2.solvePnPRansac on a dense noisy+outlier frame."""
 

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,6 +71,7 @@ def test_fill_buffer_shapes_and_masking(rng):
     assert px[:, 1].min() >= 8 and px[:, 1].max() <= 56
 
 
+@pytest.mark.slow
 def test_mapping_seed_with_depth_converges():
     """Golden-value: a 1-image seed with GT depth must drive predictions to
     the back-projected targets (the ACE0 bootstrap)."""
@@ -126,6 +128,7 @@ def test_mapping_seed_with_depth_converges():
     )
 
 
+@pytest.mark.slow
 def test_mapping_multiview_inliers_rise():
     data = render_room_scene(6, h=96, w=128)
     scene = _scene_from_synthetic(data)
@@ -156,6 +159,7 @@ def test_mapping_multiview_inliers_rise():
     assert 0.5 * data["focal"] < result["focal_orig"] < 2.0 * data["focal"]
 
 
+@pytest.mark.slow
 def test_early_stop_shortens_training():
     """With an immediately-satisfied cooldown trigger, training must stop at
     ~warmup + cooldown instead of the full budget."""
@@ -210,6 +214,7 @@ def test_host_spill_buffer_training():
     assert result["iterations"] == 60
 
 
+@pytest.mark.slow
 def test_mesh_sharded_training():
     """Buffer rows sharded over an 8-device mesh; params replicated; XLA
     inserts the collectives (SURVEY §2.3 TPU-native equivalent)."""

@@ -25,11 +25,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("output", type=Path, help="output depth-head .pt path")
     p.add_argument("--encoder_path", type=Path, required=True)
-    p.add_argument("--num_scenes", type=int, default=24)
+    p.add_argument("--num_scenes", type=int, default=64)
     p.add_argument("--views_per_scene", type=int, default=16)
-    p.add_argument("--image_height", type=int, default=192)
-    p.add_argument("--image_width", type=int, default=256)
-    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--image_height", type=int, default=240)
+    p.add_argument("--image_width", type=int, default=320)
+    p.add_argument("--steps", type=int, default=8000)
     p.add_argument("--batch_images", type=int, default=32)
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=97)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import concurrent.futures as _futures
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 from PIL import Image
@@ -25,6 +25,32 @@ GRAY_STD = 0.25
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+class _DeviceCanvasRoot:
+    """Lazy, once-per-scene upload of the full canvas set to device HBM.
+
+    The canvases are the single biggest host->device payload (~1.2 GB at
+    7-Scenes-chess scale over the axon relay, ~20 s); every mapping round
+    and every registration round consumes (a subset of) them, so re-sending
+    per stage dominated the reconstruction wall-clock. Subsets share the
+    root and index into it on device instead.
+    """
+
+    def __init__(self, canvases: np.ndarray, sizes: np.ndarray):
+        self._canvases_np = canvases
+        self._sizes_np = sizes
+        self._dev = None
+
+    def arrays(self):
+        if self._dev is None:
+            import jax.numpy as jnp
+
+            self._dev = (
+                jnp.asarray(self._canvases_np),
+                jnp.asarray(self._sizes_np, jnp.int32),
+            )
+        return self._dev
 
 
 @dataclass
@@ -42,10 +68,27 @@ class DecodedImages:
     sizes: np.ndarray
     orig_sizes: np.ndarray
     scale_factors: np.ndarray
+    device_root: "_DeviceCanvasRoot | None" = field(
+        default=None, repr=False, compare=False
+    )
+    root_indices: np.ndarray | None = field(default=None, repr=False, compare=False)
 
     @property
     def canvas_hw(self) -> tuple[int, int]:
         return self.canvases.shape[1], self.canvases.shape[2]
+
+    def ensure_root(self) -> "_DeviceCanvasRoot":
+        if self.device_root is None:
+            self.device_root = _DeviceCanvasRoot(self.canvases, self.sizes)
+            self.root_indices = np.arange(len(self.canvases))
+        return self.device_root
+
+    def device_view(self):
+        """(full_canvases_dev, full_sizes_dev, indices): this image set as
+        indices into the device-resident root canvas array."""
+        root = self.ensure_root()
+        canv, sz = root.arrays()
+        return canv, sz, np.asarray(self.root_indices)
 
 
 def _decode_one(path: str, short_size: int):

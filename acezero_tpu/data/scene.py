@@ -70,6 +70,7 @@ class SceneData:
 
     def subset(self, indices: np.ndarray) -> "SceneData":
         indices = np.asarray(indices)
+        root = self.images.ensure_root()
         return SceneData(
             rgb_files=[self.rgb_files[i] for i in indices],
             images=DecodedImages(
@@ -77,6 +78,10 @@ class SceneData:
                 sizes=self.images.sizes[indices],
                 orig_sizes=self.images.orig_sizes[indices],
                 scale_factors=self.images.scale_factors[indices],
+                # subsets share the device-resident root canvases (one
+                # upload per scene, not one per mapping/registration round)
+                device_root=root,
+                root_indices=self.images.root_indices[indices],
             ),
             poses_c2w=self.poses_c2w[indices],
             pose_valid=self.pose_valid[indices],

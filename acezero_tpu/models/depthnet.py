@@ -21,9 +21,11 @@ import jax.numpy as jnp
 
 from acezero_tpu.models.common import conv2d, init_conv, relu
 
-# (name, kh, kw, cin, cout)
+# (name, kh, kw, cin, cout); d_conv1 consumes local features concatenated
+# with the image-global mean feature (the encoder's receptive field is far
+# too local for scene-scale reasoning; the global path carries it)
 _LAYERS = [
-    ("d_conv1", 3, 3, 512, 256),
+    ("d_conv1", 3, 3, 1024, 256),
     ("d_conv2", 3, 3, 256, 128),
     ("d_conv3", 1, 1, 128, 64),
     ("d_conv4", 1, 1, 64, 1),
@@ -44,11 +46,37 @@ def depth_head_apply(params: dict, features: jax.Array) -> jax.Array:
     The head predicts log-depth; exp keeps the output positive and makes the
     scale-invariant training loss linear in the prediction.
     """
-    x = relu(conv2d(features, params["d_conv1"], 1))
+    cin = params["d_conv1"]["w"].shape[2]
+    if cin == 2 * features.shape[-1]:
+        # global-context variant: concat the image-mean feature per cell
+        g = jnp.mean(features, axis=(1, 2), keepdims=True)
+        x = jnp.concatenate([features, jnp.broadcast_to(g, features.shape)], axis=-1)
+    else:
+        x = features
+    x = relu(conv2d(x, params["d_conv1"], 1))
     x = relu(conv2d(x, params["d_conv2"], 1))
     x = relu(conv2d(x, params["d_conv3"], 1))
     log_d = conv2d(x, params["d_conv4"], 1).astype(jnp.float32)[..., 0]
     return jnp.exp(jnp.clip(log_d, -4.0, 6.0))
+
+
+def gradient_matching_loss(
+    pred_depth: jax.Array, gt_depth: jax.Array, valid: jax.Array
+) -> jax.Array:
+    """L1 on log-depth spatial gradients (structure term).
+
+    The scale-invariant term alone lets low-frequency structure drift; the
+    gradient term pins depth discontinuities and surface slopes.
+    """
+    lp = jnp.log(jnp.maximum(pred_depth, 1e-6))
+    lg = jnp.log(jnp.maximum(gt_depth, 1e-6))
+    d = lp - lg
+    vx = (valid[..., :, 1:] & valid[..., :, :-1]).astype(jnp.float32)
+    vy = (valid[..., 1:, :] & valid[..., :-1, :]).astype(jnp.float32)
+    gx = jnp.abs(d[..., :, 1:] - d[..., :, :-1]) * vx
+    gy = jnp.abs(d[..., 1:, :] - d[..., :-1, :]) * vy
+    n = jnp.maximum(jnp.sum(vx) + jnp.sum(vy), 1.0)
+    return (jnp.sum(gx) + jnp.sum(gy)) / n
 
 
 def silog_loss(

@@ -24,6 +24,7 @@ from acezero_tpu.data.images import GRAY_MEAN, GRAY_STD
 from acezero_tpu.data.synthetic import render_scene
 from acezero_tpu.models.depthnet import (
     depth_head_apply,
+    gradient_matching_loss,
     init_depth_head_params,
     silog_loss,
 )
@@ -36,24 +37,37 @@ _logger = logging.getLogger(__name__)
 
 @dataclass(frozen=True)
 class DepthPretrainConfig:
-    num_scenes: int = 24
+    num_scenes: int = 64
     views_per_scene: int = 16
-    image_h: int = 192
-    image_w: int = 256
-    steps: int = 3000
+    image_h: int = 240
+    image_w: int = 320
+    steps: int = 8000
     batch_images: int = 32
     learning_rate: float = 1e-3
     warmup_steps: int = 100
     silog_lambda: float = 0.85
+    grad_loss_weight: float = 0.5
+    low_texture_frac: float = 0.2
+    photometric: bool = True
     seed: int = 97
     chunk_steps: int = 100
 
 
 def build_depth_corpus(cfg: DepthPretrainConfig):
     images, depths = [], []
+    corpus_rng = np.random.default_rng(cfg.seed)
     for s in range(cfg.num_scenes):
+        strength = 1.0
+        if corpus_rng.random() < cfg.low_texture_frac:
+            strength = float(corpus_rng.uniform(0.3, 0.6))
         scene = render_scene(
-            cfg.views_per_scene, h=cfg.image_h, w=cfg.image_w, seed=cfg.seed + 1000 + s
+            cfg.views_per_scene,
+            h=cfg.image_h,
+            w=cfg.image_w,
+            seed=cfg.seed + 1000 + s,
+            texture_strength=strength,
+            photometric=cfg.photometric,
+            look="across" if corpus_rng.random() < 0.4 else "outward",
         )
         images.append(scene.images_u8)
         depths.append(scene.depth)
@@ -64,8 +78,8 @@ def build_depth_corpus(cfg: DepthPretrainConfig):
     return images, d8
 
 
-@partial(jax.jit, static_argnames=("lam",), donate_argnames=("params", "opt"))
-def _train_chunk(params, opt, encoder_params, images_u8, gt_d8, order, lr_tab, lam):
+@partial(jax.jit, static_argnames=("lam", "grad_w"), donate_argnames=("params", "opt"))
+def _train_chunk(params, opt, encoder_params, images_u8, gt_d8, order, lr_tab, lam, grad_w):
     """A scan of training steps over pre-drawn batch indices."""
 
     def step(carry, inputs):
@@ -78,7 +92,10 @@ def _train_chunk(params, opt, encoder_params, images_u8, gt_d8, order, lr_tab, l
 
         def loss_fn(p):
             pred = depth_head_apply(p, feats)
-            return silog_loss(pred, gt, gt > 0, lam=lam)
+            valid = gt > 0
+            return silog_loss(pred, gt, valid, lam=lam) + grad_w * gradient_matching_loss(
+                pred, gt, valid
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         params, opt = adamw_update(params, grads, opt, lr, weight_decay=1e-4)
@@ -129,6 +146,7 @@ def pretrain_depth_head(
             jnp.asarray(order, jnp.int32),
             jnp.asarray(lr_full[done : done + m]),
             cfg.silog_lambda,
+            cfg.grad_loss_weight,
         )
         last_losses = np.asarray(losses)
         done += m

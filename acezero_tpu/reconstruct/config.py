@@ -92,5 +92,5 @@ class AceZeroConfig:
     # N>1 = 1-D 'data' mesh over the first N devices (SURVEY.md §2.3)
     num_devices: int = 0
     num_decode_workers: int = 16
-    refinement_steps: int = 8  # registrar refit loop length
+    refinement_steps: int = 100  # registrar refit cap (early-stops on no growth)
     extras: dict = field(default_factory=dict)

@@ -188,6 +188,34 @@ def _register_chunk(
     )(keys, coords, mask_lr, focals, ppx, ppy)
 
 
+@partial(jax.jit, static_argnames=("head_cfg", "ransac_cfg", "subsample"))
+def _register_chunk_from_root(
+    encoder_params,
+    head_params,
+    head_cfg: HeadConfig,
+    canvases_full,  # (N, H, W) device-resident root canvases
+    sizes_full,  # (N, 2)
+    idx,  # (B,) indices into the root
+    focals,  # (B,)
+    keys,  # (B, 2)
+    ransac_cfg: RansacConfig,
+    subsample: int = 8,
+):
+    """Single-device chunk path gathering frames from the scene's one-time
+    canvas upload (no per-round host->device image traffic)."""
+    return _register_chunk.__wrapped__(
+        encoder_params,
+        head_params,
+        head_cfg,
+        canvases_full[idx],
+        sizes_full[idx],
+        focals,
+        keys,
+        ransac_cfg,
+        subsample,
+    )
+
+
 def register_frames(
     encoder_params,
     head_params,
@@ -237,7 +265,25 @@ def register_frames(
     entry_slot: dict[int, int] = {}
     t0 = time.time()
 
+    canv_dev = sizes_dev = root_idx = None
+    if mesh is None:
+        canv_dev, sizes_dev, root_idx = scene.images.device_view()
+
     def _run_chunk(idx_p, keys, ransac_cfg):
+        if mesh is None:
+            return _register_chunk_from_root(
+                encoder_params,
+                head_params,
+                head_cfg,
+                canv_dev,
+                sizes_dev,
+                jnp.asarray(root_idx[idx_p], jnp.int32),
+                jnp.asarray(focals_canvas[idx_p], jnp.float32),
+                keys,
+                ransac_cfg,
+            )
+        # mesh path: per-chunk upload + row sharding (the root array lives
+        # on one device; sharded registration feeds from host slices)
         return _register_chunk(
             encoder_params,
             head_params,

@@ -45,7 +45,10 @@ class RansacConfig:
     inlier_alpha: float = 100.0
     max_reproj_error: float = 100.0  # px, error clamp
     subsample: int = 8
-    refinement_steps: int = 8  # reference converges in a handful; cap 100
+    # max masked-inlier refits; the loop early-stops per frame when the
+    # inlier count stops growing, exactly like refineHyp (MAX_REF_STEPS=100,
+    # /root/reference/dsacstar/dsacstar.cpp:47, dsacstar_util.h:522-597)
+    refinement_steps: int = 100
     lm_iterations: int = 3  # inner LM iterations per refit (J recomputes)
     polish_lm_iterations: int = 3  # minimal-set polish after f32 P3P
 
@@ -144,8 +147,13 @@ def _sample_hypotheses(key, pts, px, logits, focal, ppx, ppy, cfg: RansacConfig)
 def _refine(rvec0, tvec0, pts, px, mask_f, focal, ppx, ppy, cfg: RansacConfig):
     """Iterative masked-inlier refits tracking the best inlier count.
 
-    Emulates refineHyp's accept-while-growing loop with a fixed step count:
-    the returned pose/count correspond to the best inlier set encountered.
+    Reference-exact refineHyp loop (dsacstar_util.h:522-597): refit on the
+    current inlier set, accept while the inlier count keeps growing, stop at
+    the first non-growth or after `refinement_steps` refits. Expressed as a
+    lax.while_loop so easy frames stop after a handful of refits; under
+    vmap, converged lanes are masked while stubborn frames keep refining up
+    to the cap — wall-clock is the slowest frame in the chunk, not
+    cap x chunk.
     """
 
     def count_and_mask(rvec, tvec):
@@ -155,8 +163,12 @@ def _refine(rvec0, tvec0, pts, px, mask_f, focal, ppx, ppy, cfg: RansacConfig):
         inl = (errs < cfg.inlier_threshold) & (mask_f > 0)
         return inl.astype(jnp.float32), jnp.sum(inl.astype(jnp.int32))
 
-    def body(state, _):
-        rvec, tvec, best_count, best_rvec, best_tvec = state
+    def cond(state):
+        _, _, _, _, _, growing, steps = state
+        return growing & (steps < cfg.refinement_steps)
+
+    def body(state):
+        rvec, tvec, best_count, best_rvec, best_tvec, _, steps = state
         w, count = count_and_mask(rvec, tvec)
         improved = count > best_count
         best_count = jnp.where(improved, count, best_count)
@@ -165,12 +177,21 @@ def _refine(rvec0, tvec0, pts, px, mask_f, focal, ppx, ppy, cfg: RansacConfig):
         new_rvec, new_tvec, _ = lm_pnp(
             rvec, tvec, pts, px, w, focal, ppx, ppy, iterations=cfg.lm_iterations
         )
-        return (new_rvec, new_tvec, best_count, best_rvec, best_tvec), None
+        return (new_rvec, new_tvec, best_count, best_rvec, best_tvec, improved, steps + 1)
 
-    # reference starts with bestInliers = 4 (the minimal set)
-    init = (rvec0, tvec0, jnp.asarray(4, jnp.int32), rvec0, tvec0)
-    (rvec, tvec, best_count, best_rvec, best_tvec), _ = jax.lax.scan(
-        body, init, None, length=cfg.refinement_steps
+    # reference starts with bestInliers = 4 (the minimal set); the first
+    # iteration always runs (growing init True)
+    init = (
+        rvec0,
+        tvec0,
+        jnp.asarray(4, jnp.int32),
+        rvec0,
+        tvec0,
+        jnp.asarray(True),
+        jnp.asarray(0, jnp.int32),
+    )
+    rvec, tvec, best_count, best_rvec, best_tvec, _, _ = jax.lax.while_loop(
+        cond, body, init
     )
     # final chance for the last refit to win
     _, count = count_and_mask(rvec, tvec)

@@ -142,7 +142,8 @@ def _fill_pass(
     images_dev,
     sizes_dev,
     targets_dev,
-    order,  # (n_chunks * chunk,) image indices for this pass (pre-padded)
+    order,  # (n_chunks * chunk,) LOCAL image indices (rows of targets/ctx)
+    order_global,  # same shape: indices into the device canvas/size arrays
     key,
     row0,  # starting buffer row for this pass
     cfg: BufferConfig,
@@ -162,10 +163,11 @@ def _fill_pass(
     def body(buf, inputs):
         ci, k = inputs
         idx = jax.lax.dynamic_slice_in_dim(order, ci * chunk, chunk, 0)
+        idx_g = jax.lax.dynamic_slice_in_dim(order_global, ci * chunk, chunk, 0)
         rows = _fill_chunk.__wrapped__(
             encoder_params,
-            images_dev[idx],
-            sizes_dev[idx],
+            images_dev[idx_g],
+            sizes_dev[idx_g],
             targets_dev[idx],
             k,
             cfg,
@@ -205,6 +207,7 @@ def fill_training_buffer(
     devices_pad: int = 1,
     host_spill: bool = False,
     pad_rows_to_bucket: bool = False,
+    device_view=None,
 ):
     """Fill the patch buffer from a scene's canvas images.
 
@@ -215,6 +218,9 @@ def fill_training_buffer(
         depth supervision); None for the self-supervised rounds.
       devices_pad: round the buffer row count down to a multiple of this
         (sharding alignment).
+      device_view: optional (full_canvases_dev, full_sizes_dev, indices)
+        from DecodedImages.device_view() — reuses the scene's one-time
+        canvas upload instead of re-sending the (subset) images every round.
 
     Returns:
       dict of device arrays: features (M, C) bf16, target_px (M, 2),
@@ -254,8 +260,13 @@ def fill_training_buffer(
             "scale": jnp.ones((alloc,), jnp.float32),
         }
 
-    images_dev = jnp.asarray(images_u8)
-    sizes_dev = jnp.asarray(sizes)
+    if device_view is not None:
+        images_dev, sizes_dev, root_idx = device_view
+        idx_map = np.asarray(root_idx)
+    else:
+        images_dev = jnp.asarray(images_u8)
+        sizes_dev = jnp.asarray(sizes)
+        idx_map = np.arange(n)
     hs, ws = H // cfg.subsample, W // cfg.subsample
     if use_depth:
         targets_dev = jnp.asarray(target_maps, jnp.float32)
@@ -306,6 +317,7 @@ def fill_training_buffer(
                     sizes_dev,
                     targets_dev,
                     jnp.asarray(seg, jnp.int32),
+                    jnp.asarray(idx_map[seg], jnp.int32),
                     pass_key,
                     0,
                     cfg,
@@ -331,8 +343,8 @@ def fill_training_buffer(
             key, sub_key = jax.random.split(key)
             rows = _fill_chunk(
                 encoder_params,
-                images_dev[idx],
-                sizes_dev[idx],
+                images_dev[idx_map[idx]],
+                sizes_dev[idx_map[idx]],
                 targets_dev[idx],
                 sub_key,
                 cfg,

@@ -406,6 +406,7 @@ class MappingTrainer:
             target_maps=self._seed_target_maps(),
             host_spill=self.cfg.buffer_host_spill,
             pad_rows_to_bucket=True,
+            device_view=self.scene.images.device_view(),
         )
         if shard and self.mesh is not None and not self.cfg.buffer_host_spill:
             # shard the HBM hog across the mesh; params/state replicate and

@@ -102,8 +102,13 @@ def test_full_reconstruction_loop(scene_dir, tmp_path):
     assert errors.rot_errors_deg.shape == (10,)
 
 
-def test_pipeline_requires_depth_source(scene_dir, tmp_path):
+def test_pipeline_depth_fallbacks(scene_dir, tmp_path):
     scene_path, data = scene_dir
+    from pathlib import Path
+
+    # bare image glob: the learned seed-depth estimator auto-loads when its
+    # weights ship (the reference boots ZoeDepth automatically,
+    # /root/reference/ace_zero.py:170-173)
     cfg = AceZeroConfig(
         rgb_files=str(scene_path / "*.png"),
         results_folder=tmp_path / "out2",
@@ -111,5 +116,22 @@ def test_pipeline_requires_depth_source(scene_dir, tmp_path):
         try_seeds=1,
     )
     pipeline = AceZeroPipeline(cfg)
+    default_weights = Path(__file__).resolve().parents[1] / "weights" / "tpu_depth_v1.pt"
+    if default_weights.exists():
+        assert pipeline.depth_estimator is not None
+        depth = pipeline._seed_depth_canvas(0)
+        assert depth.shape == pipeline.scene.canvas_hw
+        assert (depth[depth > 0] > 0).all()
+
+    # without any depth source (weights pointed nowhere), seeds must fail
+    # with a clear error
+    cfg2 = AceZeroConfig(
+        rgb_files=str(scene_path / "*.png"),
+        results_folder=tmp_path / "out3",
+        use_external_focal_length=data["focal"],
+        try_seeds=1,
+        depth_network=tmp_path / "missing_depth.pt",
+    )
+    pipeline2 = AceZeroPipeline(cfg2)
     with pytest.raises(ValueError, match="depth"):
-        pipeline._seed_depth_canvas(0)
+        pipeline2._seed_depth_canvas(0)

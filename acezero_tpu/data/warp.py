@@ -38,11 +38,21 @@ import jax.numpy as jnp
 
 
 def _resize_matrix(
-    n: int, scale: jax.Array, center: jax.Array, max_aw: int = 2
+    n_out: int,
+    n_in: int,
+    scale: jax.Array,
+    center: jax.Array,
+    offset: int = 0,
+    max_aw: int = 2,
 ) -> jax.Array:
-    """(n, n) 1-D interpolation matrix: out[i] = sum_j M[i, j] src[j].
+    """(n_out, n_in) 1-D interpolation matrix: out[i] = sum_j M[i, j] src[j].
 
-    Output index i samples source coordinate scale*(i+.5-center)+center.
+    Output index i represents coordinate (i - offset); it samples source
+    coordinate scale*(i - offset + .5 - center) + center. `offset` lets the
+    output canvas extend past the source extent on both sides (the barrel
+    shear after the resize reads up to its shift range beyond the nominal
+    canvas — without the extension, magnified content gets clipped).
+
     Triangle filter of half-width max(1, scale): bilinear when magnifying,
     antialiased averaging when minifying (scale > 1 means the inverse map
     strides over the source, i.e. the content is shrunk on the canvas).
@@ -52,13 +62,13 @@ def _resize_matrix(
     contribute zeros — matching map_coordinates' mode='constant' boundary
     instead of stretching edge pixels.
     """
-    i = jnp.arange(n, dtype=jnp.float32) + 0.5
+    i = jnp.arange(n_out, dtype=jnp.float32) + 0.5 - offset
     src = scale * (i - center) + center
-    j = jnp.arange(-max_aw, n + max_aw, dtype=jnp.float32) + 0.5
+    j = jnp.arange(-max_aw, n_in + max_aw, dtype=jnp.float32) + 0.5
     aw = jnp.maximum(scale, 1.0)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - j[None, :]) / aw)
     w = w / jnp.maximum(w.sum(axis=-1, keepdims=True), 1e-8)
-    return w[:, max_aw : max_aw + n]
+    return w[:, max_aw : max_aw + n_in]
 
 
 def _barrel_shift_last(arr: jax.Array, shift: jax.Array, pad: int) -> jax.Array:
@@ -143,19 +153,26 @@ def affine_warp_batch(
     pad2 = int(math.ceil(math.tan(max_rot) * (W / 2.0))) + 2
 
     # ---- pass 1: resample along x -----------------------------------------
-    Wx = jax.vmap(lambda a: _resize_matrix(W, a, jnp.asarray(cx)))(alpha)  # (B, W, W)
+    # the resized canvas extends pad1 columns past each edge: the shear that
+    # follows reads up to |shift1| <= pad1 beyond the nominal width, and for
+    # magnifying scales that data is real content, not padding
+    Wx = jax.vmap(
+        lambda a: _resize_matrix(W + 2 * pad1, W, a, jnp.asarray(cx), offset=pad1)
+    )(alpha)  # (B, W + 2*pad1, W)
     r1 = jnp.einsum("bij,bhj->bhi", Wx, x, precision="highest")
     yy = jnp.arange(H, dtype=jnp.float32) + 0.5
     # the x-resize rescales column indices by alpha, so a source-coordinate
     # shift of beta*(y-cy) is beta/alpha * (y-cy) = slope1*(y-cy) resized cols
     shift1 = slope1[:, None] * (yy[None, :] - cy)
-    q1 = _barrel_shift_last(r1, shift1, pad1)
+    q1 = _barrel_shift_last(r1, shift1, pad1)[..., pad1 : pad1 + W]
 
     # ---- pass 2: resample along y -----------------------------------------
-    Wy = jax.vmap(lambda a: _resize_matrix(H, a, jnp.asarray(cy)))(a22)  # (B, H, H)
+    Wy = jax.vmap(
+        lambda a: _resize_matrix(H + 2 * pad2, H, a, jnp.asarray(cy), offset=pad2)
+    )(a22)  # (B, H + 2*pad2, H)
     r2 = jnp.einsum("bij,bjx->bix", Wy, q1, precision="highest")
     xx = jnp.arange(W, dtype=jnp.float32) + 0.5
     # the y-resize rescales row indices by a22; a source row shift of
     # A21*(x-cx) is A21*(x-cx)/a22 = slope2*(x-cx) resized rows
     shift2 = slope2[:, None] * (xx[None, :] - cx)
-    return _barrel_shift_rows(r2, shift2, pad2)
+    return _barrel_shift_rows(r2, shift2, pad2)[:, pad2 : pad2 + H, :]

@@ -114,17 +114,25 @@ class AceZeroPipeline:
         )
         if self.depth_files is None and self.depth_estimator is None:
             # bare image-glob UX (reference ace_zero.py:170-173 boots ZoeDepth
-            # automatically): fall back to the learned in-process estimator
-            depth_net = cfg.depth_network or Path(__file__).resolve().parents[2] / (
-                "weights/tpu_depth_v1.pt"
+            # automatically): fall back to the learned in-process estimator.
+            # NOTE: depth heads consume the ENCODER's features, so each head
+            # is paired with the encoder it was trained on (v2 head <-> v3
+            # encoder, v1 head <-> v2 encoder).
+            weights_dir = Path(__file__).resolve().parents[2] / "weights"
+            candidates = (
+                [cfg.depth_network]
+                if cfg.depth_network
+                else [weights_dir / "tpu_depth_v2.pt", weights_dir / "tpu_depth_v1.pt"]
             )
-            if Path(depth_net).exists():
-                from acezero_tpu.data.depth import learned_depth_estimator
+            for depth_net in candidates:
+                if Path(depth_net).exists():
+                    from acezero_tpu.data.depth import learned_depth_estimator
 
-                self.depth_estimator = learned_depth_estimator(
-                    depth_net, encoder_params=self.encoder_params
-                )
-                _logger.info("Using learned seed-depth estimator: %s", depth_net)
+                    self.depth_estimator = learned_depth_estimator(
+                        depth_net, encoder_params=self.encoder_params
+                    )
+                    _logger.info("Using learned seed-depth estimator: %s", depth_net)
+                    break
 
         if cfg.render_visualization:
             from acezero_tpu.viz import ReconstructionVisualizer, VizConfig
@@ -519,6 +527,7 @@ class AceZeroPipeline:
         scheduled_to_stop_early = False
         focal_estimate: float | None = None
         iteration = 0
+        rate_history = [max_rate]  # per-round registration rates (diagnostics)
 
         # ------------------------- main loop ------------------------------
         for iteration in range(1, cfg.iterations_max):
@@ -592,6 +601,7 @@ class AceZeroPipeline:
                 [e.confidence for e in entries], [cfg.registration_confidence]
             )[0]
             _logger.info("%s: registered %.1f%% of all frames.", iteration_id, rate * 100)
+            rate_history.append(rate)
 
             if scheduled_to_stop_early:
                 break
@@ -651,6 +661,7 @@ class AceZeroPipeline:
             "focal_estimate": focal_estimate,
             "iterations": iteration,
             "registration_rates": rates,
+            "rate_history": rate_history,
             "time_seconds": total_time,
             "report": report,
             "pose_file": self.out / "poses_final.txt",

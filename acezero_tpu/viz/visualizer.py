@@ -62,6 +62,7 @@ class ReconstructionVisualizer:
         self.cloud_xyz = np.zeros((0, 3), np.float32)
         self.cloud_rgb = np.zeros((0, 3), np.float32)
         self._smoothed_center: np.ndarray | None = None
+        self._smoothed_radius: float | None = None
         self.registration_history: dict[str, int] = {}
 
     # ------------------------------------------------------------- state
@@ -74,6 +75,7 @@ class ReconstructionVisualizer:
                     "cloud_xyz": self.cloud_xyz,
                     "cloud_rgb": self.cloud_rgb,
                     "smoothed_center": self._smoothed_center,
+                    "smoothed_radius": self._smoothed_radius,
                     "registration_history": self.registration_history,
                 },
                 f,
@@ -86,6 +88,7 @@ class ReconstructionVisualizer:
         self.cloud_xyz = state["cloud_xyz"]
         self.cloud_rgb = state["cloud_rgb"]
         self._smoothed_center = state["smoothed_center"]
+        self._smoothed_radius = state.get("smoothed_radius")
         self.registration_history = state.get("registration_history", {})
 
     # ----------------------------------------------------------- updates
@@ -121,7 +124,21 @@ class ReconstructionVisualizer:
             self._smoothed_center = a * self._smoothed_center + (1 - a) * center
         c = self._smoothed_center
 
-        radius = self.cfg.camera_z_offset
+        # LazyCamera-grade motion (reference ace_vis_util.py:233-323): the
+        # orbit radius tracks the growing scene extent through the same
+        # rolling average as the center, so the view pulls back smoothly as
+        # the reconstruction grows instead of clipping through the cloud
+        if self.cloud_xyz.shape[0] > 16:
+            d = np.linalg.norm(self.cloud_xyz - c, axis=1)
+            r_target = max(self.cfg.camera_z_offset, 1.4 * float(np.percentile(d, 90)))
+        else:
+            r_target = self.cfg.camera_z_offset
+        if self._smoothed_radius is None:
+            self._smoothed_radius = r_target
+        else:
+            a = self.cfg.smoothing
+            self._smoothed_radius = a * self._smoothed_radius + (1 - a) * r_target
+        radius = self._smoothed_radius
         eye = c + radius * np.array([np.cos(angle), -0.35, np.sin(angle)])
         z = c - eye
         z = z / np.linalg.norm(z)

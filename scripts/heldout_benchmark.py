@@ -89,6 +89,7 @@ def run_one(scene_dir: Path, out_dir: Path, encoder_path: Path, run_seed: int,
         "median_t_cm": errors.median_trans_cm,
         "reg_rate_500": result["registration_rates"][0],
         "iterations": result["iterations"],
+        "rate_history": result.get("rate_history"),
         "wall_minutes": wall / 60.0,
     }
 

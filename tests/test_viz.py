@@ -59,3 +59,23 @@ def test_visualizer_phases(tmp_path, rng):
 
     sweep = viz2.render_final_sweep(poses, np.asarray([1.0, 1.0, 2.0, 3.0]), num_frames=3)
     assert len(sweep) == 3 and all(p.exists() for p in sweep)
+
+
+def test_overlays_change_pixels():
+    import numpy as np
+
+    from acezero_tpu.viz.overlay import (
+        draw_caption,
+        draw_conf_histogram,
+        draw_loading_bar,
+    )
+
+    img = np.full((240, 640, 3), 255, np.uint8)
+    out = draw_caption(img, "Neural Mapping", "iteration1 · step 500")
+    assert out.shape == img.shape and not np.array_equal(out, img)
+    out2 = draw_loading_bar(out, 0.4, "training the scene map")
+    assert not np.array_equal(out2, out)
+    confs = np.concatenate([np.random.default_rng(0).uniform(0, 400, 50),
+                            np.random.default_rng(1).uniform(600, 4000, 50)])
+    out3 = draw_conf_histogram(out2, confs, threshold=500.0)
+    assert not np.array_equal(out3, out2)

@@ -39,6 +39,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="per-view exposure/vignette/noise nuisances")
     p.add_argument("--across_frac", type=float, default=0.0,
                    help="fraction of convergent-view (look=across) scenes")
+    p.add_argument("--focal_min", type=float, default=0.7,
+                   help="min per-scene focal as a fraction of image width")
+    p.add_argument("--focal_max", type=float, default=1.4,
+                   help="max per-scene focal as a fraction of image width")
+    p.add_argument("--texture_octaves_max", type=int, default=1,
+                   help="scenes draw 1..N texture octaves (multi-scale blocks)")
+    p.add_argument("--coarse_supervision", action="store_true",
+                   help="use the order-0 warped-map supervision instead of "
+                        "exact ray-cast GT (legacy v2/v3 recipe)")
     args = p.parse_args(argv)
 
     cfg = PretrainConfig(
@@ -53,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
         low_texture_frac=args.low_texture_frac,
         photometric=args.photometric,
         across_frac=args.across_frac,
+        focal_min=args.focal_min,
+        focal_max=args.focal_max,
+        texture_octaves_max=args.texture_octaves_max,
+        exact_supervision=not args.coarse_supervision,
     )
     pretrain_encoder(cfg, output_path=args.output)
     return 0

@@ -27,11 +27,25 @@ class SyntheticScene:
     poses_c2w: np.ndarray  # (N, 4, 4)
     depth: np.ndarray  # (N, h, w) camera-z depth
     focal: float
+    # scene geometry (for analytic re-rendering of supervision under
+    # augmented virtual cameras — see render_coord_grid): interior AABB
+    # half-extent and occluder boxes (K, 2, 3) as (lo, hi) corners.
+    box_half: float = 0.0
+    occ_boxes: np.ndarray | None = None
 
 
-def _make_texture(rng: np.random.Generator, block_amp: float = 0.35, strength: float = 1.0):
+def _make_texture(
+    rng: np.random.Generator,
+    block_amp: float = 0.35,
+    strength: float = 1.0,
+    octaves: int = 1,
+):
     """`strength` < 1 produces texture-poor surfaces (flat walls with faint
-    structure) — the hard regime for feature learning."""
+    structure) — the hard regime for feature learning. `octaves` > 1 adds
+    finer hashed-block layers at 3x/9x the base frequency (real scenes have
+    multi-scale structure; single-scale blocks leave patch interiors blank).
+    Extra octave draws happen *after* the base draws so octaves=1 scenes are
+    bit-identical to the historical generator output."""
     n_waves = 6
     freqs = np.exp(rng.uniform(np.log(0.8), np.log(30.0), n_waves))
     dirs = rng.normal(size=(n_waves, 3))
@@ -41,6 +55,12 @@ def _make_texture(rng: np.random.Generator, block_amp: float = 0.35, strength: f
     block_amp = block_amp * strength
     block_scale = rng.uniform(1.0, 6.0)
     hx, hy, hz = rng.integers(1, 1 << 30, 3)
+    extra = []
+    for o in range(1, octaves):
+        e_scale = block_scale * (3.0**o) * rng.uniform(0.8, 1.25)
+        e_amp = block_amp * rng.uniform(0.25, 0.5) / o
+        e_hash = rng.integers(1, 1 << 30, 3)
+        extra.append((e_scale, e_amp, e_hash))
 
     def texture(points: np.ndarray) -> np.ndarray:
         val = np.full(points.shape[:-1], 0.5)
@@ -49,6 +69,10 @@ def _make_texture(rng: np.random.Generator, block_amp: float = 0.35, strength: f
         blocks = np.floor(points * block_scale).astype(np.int64)
         hashed = ((blocks[..., 0] * hx) ^ (blocks[..., 1] * hy) ^ (blocks[..., 2] * hz)) % 256
         val = (1 - block_amp) * val + block_amp * (hashed / 255.0)
+        for e_scale, e_amp, (ex, ey, ez) in extra:
+            eb = np.floor(points * e_scale).astype(np.int64)
+            eh = ((eb[..., 0] * ex) ^ (eb[..., 1] * ey) ^ (eb[..., 2] * ez)) % 256
+            val = val + e_amp * (eh / 255.0 - 0.5)
         return np.clip(val, 0.0, 1.0)
 
     return texture
@@ -92,6 +116,7 @@ def render_scene(
     look: str = "outward",
     texture_strength: float = 1.0,
     photometric: bool = False,
+    texture_octaves: int = 1,
 ) -> SyntheticScene:
     """`look`: camera orientation pattern — "outward" (panorama-like ring,
     weakly conditioned view graph) or "across" (convergent views through the
@@ -111,9 +136,9 @@ def render_scene(
         spread = 0.25 * box_half
     if n_occluders is None:
         n_occluders = int(rng.integers(0, 4))
-    texture = _make_texture(rng, strength=texture_strength)
+    texture = _make_texture(rng, strength=texture_strength, octaves=texture_octaves)
     occ_textures = [
-        _make_texture(rng, block_amp=0.5, strength=texture_strength)
+        _make_texture(rng, block_amp=0.5, strength=texture_strength, octaves=texture_octaves)
         for _ in range(n_occluders)
     ]
     # interior occluder boxes: depth discontinuities + close-range structure
@@ -192,7 +217,19 @@ def render_scene(
         images[i] = (shade * 255).astype(np.uint8)
         depths[i] = t_hit  # camera-z depth (d_cam z-component is 1)
 
-    return SyntheticScene(images_u8=images, poses_c2w=poses, depth=depths, focal=focal)
+    occ_arr = (
+        np.stack([np.stack(b) for b in occ_boxes]).astype(np.float32)
+        if occ_boxes
+        else np.zeros((0, 2, 3), np.float32)
+    )
+    return SyntheticScene(
+        images_u8=images,
+        poses_c2w=poses,
+        depth=depths,
+        focal=focal,
+        box_half=float(box_half),
+        occ_boxes=occ_arr,
+    )
 
 
 def scene_coordinate_maps(scene: SyntheticScene, subsample: int = 8) -> np.ndarray:

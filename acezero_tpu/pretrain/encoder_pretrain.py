@@ -68,37 +68,80 @@ class PretrainConfig:
     low_texture_frac: float = 0.0
     photometric: bool = False
     across_frac: float = 0.0
+    # corpus-diversity knobs (encoder v4): per-scene focal range (xW),
+    # multi-octave texture mix, and exact analytic supervision (ray-cast GT
+    # for the augmented camera instead of order-0 warping of the stride-8
+    # map, which costs ~3 px median supervision misalignment)
+    focal_min: float = 0.7
+    focal_max: float = 1.4
+    texture_octaves_max: int = 1
+    exact_supervision: bool = True
+    max_occ_boxes: int = 4
+
+
+def _render_corpus_scene(views: int, kwargs: dict):
+    return render_scene(views, **kwargs)
 
 
 def build_corpus(cfg: PretrainConfig):
     """Render the synthetic corpus: images, GT coord maps, poses, focals."""
-    images, coords, w2c, focals, scene_ids = [], [], [], [], []
+    from acezero_tpu.data.scene_raycast import pad_occ_boxes
+
+    images, coords, w2c, c2w, focals, scene_ids = [], [], [], [], [], []
+    box_halves, occ_lists = [], []
     corpus_rng = np.random.default_rng(cfg.seed)
+    # draw per-scene params sequentially (stable stream), render in parallel
+    scene_kwargs = []
     for s in range(cfg.num_scenes):
         strength = 1.0
         if corpus_rng.random() < cfg.low_texture_frac:
             strength = float(corpus_rng.uniform(0.25, 0.6))
         look = "across" if corpus_rng.random() < cfg.across_frac else "outward"
-        scene = render_scene(
-            cfg.views_per_scene,
-            h=cfg.image_h,
-            w=cfg.image_w,
-            seed=cfg.seed + s,
-            texture_strength=strength,
-            photometric=cfg.photometric,
-            look=look,
+        focal = float(corpus_rng.uniform(cfg.focal_min, cfg.focal_max) * cfg.image_w)
+        octaves = int(corpus_rng.integers(1, cfg.texture_octaves_max + 1))
+        scene_kwargs.append(
+            dict(
+                h=cfg.image_h,
+                w=cfg.image_w,
+                seed=cfg.seed + s,
+                focal=focal,
+                texture_strength=strength,
+                photometric=cfg.photometric,
+                look=look,
+                texture_octaves=octaves,
+            )
         )
+
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    workers = min(cfg.num_scenes, max(1, (mp.cpu_count() or 2) - 1))
+    with ProcessPoolExecutor(max_workers=workers) as pool:
+        scenes = list(
+            pool.map(
+                partial(_render_corpus_scene, cfg.views_per_scene), scene_kwargs
+            )
+        )
+    for s, scene in enumerate(scenes):
         images.append(scene.images_u8)
         coords.append(scene_coordinate_maps(scene))
         w2c.append(np.linalg.inv(scene.poses_c2w.astype(np.float64)).astype(np.float32))
+        c2w.append(scene.poses_c2w.astype(np.float32))
         focals.append(np.full(cfg.views_per_scene, scene.focal, np.float32))
         scene_ids.append(np.full(cfg.views_per_scene, s, np.int32))
+        box_halves.append(np.full(cfg.views_per_scene, scene.box_half, np.float32))
+        occ_lists.append(scene.occ_boxes)
+    occ_padded = pad_occ_boxes(occ_lists, cfg.max_occ_boxes)  # (S, K, 2, 3)
+    ids = np.concatenate(scene_ids)
     return {
         "images_u8": np.concatenate(images),
         "coords": np.concatenate(coords).astype(np.float32),
         "w2c": np.concatenate(w2c),
+        "c2w": np.concatenate(c2w),
         "focals": np.concatenate(focals),
-        "scene_ids": np.concatenate(scene_ids),
+        "scene_ids": ids,
+        "box_half": np.concatenate(box_halves),
+        "occ_boxes": occ_padded[ids],  # (N_views, K, 2, 3)
     }
 
 
@@ -134,15 +177,44 @@ def _pretrain_chunk(params, opt_state, data, key, step0, cfg: PretrainConfig, he
             lambda hp, f: head_apply_image(hp, head_cfg, f[None])[0]
         )(heads_b, feats)  # (B, hs, ws, 3)
 
-        # warp GT maps with the same augmentation (order-0, zeros invalid)
-        from acezero_tpu.data.augment import warp_target_map
-
-        gt = jax.vmap(warp_target_map)(
-            data["coords"][batch_idx], aug["thetas"], aug["scales"]
-        )
         off = sub // 2
-        mask = aug["masks"][:, off::sub, off::sub]
-        mask = mask & (jnp.sum(jnp.abs(gt), axis=-1) > 1e-5)
+        if cfg.exact_supervision:
+            # exact GT: ray-cast the scene at the augmented virtual camera
+            # (w2c' = Rz(theta) @ w2c, f' = s * f) — zero warp error
+            from acezero_tpu.data.scene_raycast import render_coord_grid_batch
+
+            ca, sa = jnp.cos(-aug["thetas"]), jnp.sin(-aug["thetas"])
+            zeros4 = jnp.zeros_like(ca)
+            ones4 = jnp.ones_like(ca)
+            Rz_inv = jnp.stack(
+                [ca, -sa, zeros4, zeros4,
+                 sa, ca, zeros4, zeros4,
+                 zeros4, zeros4, ones4, zeros4,
+                 zeros4, zeros4, zeros4, ones4], -1
+            ).reshape(-1, 4, 4)
+            c2w_aug = jnp.einsum("bij,bjk->bik", data["c2w"][batch_idx], Rz_inv)
+            hs_g, ws_g = cfg.image_h // sub, cfg.image_w // sub
+            gt = render_coord_grid_batch(
+                data["box_half"][batch_idx],
+                data["occ_boxes"][batch_idx],
+                c2w_aug,
+                data["focals"][batch_idx] * aug["scales"],
+                jnp.float32(cfg.image_w / 2.0),
+                jnp.float32(cfg.image_h / 2.0),
+                hs_g,
+                ws_g,
+                sub,
+            )
+            mask = aug["masks"][:, off::sub, off::sub]
+        else:
+            # warp GT maps with the same augmentation (order-0, zeros invalid)
+            from acezero_tpu.data.augment import warp_target_map
+
+            gt = jax.vmap(warp_target_map)(
+                data["coords"][batch_idx], aug["thetas"], aug["scales"]
+            )
+            mask = aug["masks"][:, off::sub, off::sub]
+            mask = mask & (jnp.sum(jnp.abs(gt), axis=-1) > 1e-5)
         mask_f = mask.astype(jnp.float32)
         n_valid = jnp.maximum(jnp.sum(mask_f), 1.0)
 
@@ -221,6 +293,16 @@ def pretrain_encoder(
         "focals": jnp.asarray(corpus["focals"]),
         "scene_ids": jnp.asarray(corpus["scene_ids"]),
     }
+    if cfg.exact_supervision:
+        if "box_half" not in corpus:
+            raise ValueError(
+                "exact_supervision=True needs corpus geometry (box_half/"
+                "occ_boxes/c2w from build_corpus); pass exact_supervision="
+                "False for external corpora without it"
+            )
+        data["c2w"] = jnp.asarray(corpus["c2w"])
+        data["box_half"] = jnp.asarray(corpus["box_half"])
+        data["occ_boxes"] = jnp.asarray(corpus["occ_boxes"])
     _logger.info("Corpus ready in %.1fs", time.time() - t0)
 
     key = jax.random.PRNGKey(cfg.seed)

@@ -67,35 +67,71 @@ def _canvas_prologue(images_u8, sizes, subsample: int):
     return images, mask_lr, grid, ppx, ppy
 
 
-@partial(jax.jit, static_argnames=("head_cfg", "ransac_cfg", "subsample"))
-def _register_chunk_multi(
+# NOTE on program structure: scene-coordinate inference (encoder + head)
+# and the RANSAC solve are SEPARATE jitted programs with the (tiny)
+# coordinate maps materialized between them. Fusing them into one program
+# looks natural but interacts pathologically with the registrar's
+# refinement lax.while_loop — XLA sinks recomputation into the loop and a
+# 60-frame chunk goes from ~2s to ~80s when maps are noisy enough to hit
+# the refit cap (measured on TPU v5e; see round-2 notes). The split costs
+# one HBM round-trip of (B, h, w, 3) floats ≈ 3 MB per chunk.
+
+
+@partial(jax.jit, static_argnames=("head_cfg", "subsample"))
+def _coords_chunk_multi(
     encoder_params,
     head_params_stacked,  # pytree with leading head axis S
     head_cfg: HeadConfig,
     images_u8,
     sizes,
-    focals,
-    keys,  # (S, B, 2)
-    ransac_cfg: RansacConfig,
     subsample: int = 8,
 ):
-    """Register one frame chunk against S scene maps at once.
+    """Scene coordinates of one frame chunk under S heads (shared encoder).
 
-    Encoder features are computed once and shared; the S heads + RANSACs
-    vmap over the head axis — the seed-scoring stage registers against all
-    candidate seed maps for one encoder pass (reference scores seeds in
-    separate processes, ace_zero_util.py:242-259).
-    """
+    The seed-scoring stage registers against all candidate seed maps for
+    one encoder pass (reference scores seeds in separate processes,
+    ace_zero_util.py:242-259). Returns ((S, B, h, w, 3) coords, (B, h, w)
+    mask)."""
     images, mask_lr, grid, ppx, ppy = _canvas_prologue(images_u8, sizes, subsample)
     feats = encoder_apply(encoder_params, images)
+    coords = jax.vmap(lambda hp: head_apply_image(hp, head_cfg, feats))(
+        head_params_stacked
+    )
+    return coords, mask_lr
 
-    def one_head(head_params, keys_h):
-        coords = head_apply_image(head_params, head_cfg, feats)
-        return jax.vmap(
-            lambda k, sc, m, f, px_, py_: estimate_pose(k, sc, m, grid, f, px_, py_, ransac_cfg)
-        )(keys_h, coords, mask_lr, focals, ppx, ppy)
 
-    return jax.vmap(one_head)(head_params_stacked, keys)
+@partial(jax.jit, static_argnames=("ransac_cfg",))
+def _ransac_chunk(
+    coords,  # (B, h, w, 3)
+    mask_lr,  # (B, h, w)
+    grid,  # (h, w, 2)
+    focals,  # (B,)
+    ppx,
+    ppy,
+    keys,  # (B, 2)
+    ransac_cfg: RansacConfig,
+):
+    return jax.vmap(
+        lambda k, sc, m, f, px_, py_: estimate_pose(k, sc, m, grid, f, px_, py_, ransac_cfg)
+    )(keys, coords, mask_lr, focals, ppx, ppy)
+
+
+@partial(jax.jit, static_argnames=("ransac_cfg",))
+def _ransac_chunk_multi(
+    coords,  # (S, B, h, w, 3)
+    mask_lr,  # (B, h, w)
+    grid,
+    focals,
+    ppx,
+    ppy,
+    keys,  # (S, B, 2)
+    ransac_cfg: RansacConfig,
+):
+    return jax.vmap(
+        lambda c_s, k_s: _ransac_chunk.__wrapped__(
+            c_s, mask_lr, grid, focals, ppx, ppy, k_s, ransac_cfg
+        )
+    )(coords, keys)
 
 
 def register_frames_multi(
@@ -131,6 +167,9 @@ def register_frames_multi(
         from acezero_tpu.parallel.mesh import shard_rows
 
         return shard_rows(tree, mesh)
+    H, W = scene.images.canvas_hw
+    sub8 = 8
+    grid = get_pixel_grid(H // sub8, W // sub8, sub8)
     results: list[list[PoseFileEntry]] = [[] for _ in range(S)]
     t0 = time.time()
     for c0 in range(0, len(order), chunk):
@@ -139,18 +178,26 @@ def register_frames_multi(
         idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, S * chunk).reshape(S, chunk, -1)
-        out = _register_chunk_multi(
+        coords, mask_lr = _coords_chunk_multi(
             encoder_params,
             stacked,
             head_cfg,
             _maybe_shard(jnp.asarray(images[idx_p])),
             _maybe_shard(jnp.asarray(sizes[idx_p])),
+        )
+        out = _ransac_chunk_multi(
+            coords,
+            mask_lr,
+            grid,
             _maybe_shard(jnp.asarray(scene.focals_canvas[idx_p], jnp.float32)),
+            jnp.full((chunk,), W / 2.0, jnp.float32),
+            jnp.full((chunk,), H / 2.0, jnp.float32),
             keys,
             cfg.ransac,
         )
-        poses = np.asarray(out["pose_c2w"], np.float64)  # (S, B, 4, 4)
-        confs = np.asarray(out["inlier_count"])
+        out = jax.device_get(out)
+        poses = out["pose_c2w"].astype(np.float64)  # (S, B, 4, 4)
+        confs = out["inlier_count"]
         for s_i in range(S):
             for j, i in enumerate(idx):
                 results[s_i].append(
@@ -167,51 +214,39 @@ def register_frames_multi(
     return results
 
 
-@partial(jax.jit, static_argnames=("head_cfg", "ransac_cfg", "subsample"))
-def _register_chunk(
+@partial(jax.jit, static_argnames=("head_cfg", "subsample"))
+def _coords_chunk(
     encoder_params,
     head_params,
     head_cfg: HeadConfig,
     images_u8,  # (B, H, W)
     sizes,  # (B, 2)
-    focals,  # (B,) canvas-pixel focals
-    keys,  # (B, 2) PRNG keys
-    ransac_cfg: RansacConfig,
     subsample: int = 8,
 ):
     images, mask_lr, grid, ppx, ppy = _canvas_prologue(images_u8, sizes, subsample)
     feats = encoder_apply(encoder_params, images)
     coords = head_apply_image(head_params, head_cfg, feats)  # (B, h, w, 3)
-
-    return jax.vmap(
-        lambda k, sc, m, f, px_, py_: estimate_pose(k, sc, m, grid, f, px_, py_, ransac_cfg)
-    )(keys, coords, mask_lr, focals, ppx, ppy)
+    return coords, mask_lr
 
 
-@partial(jax.jit, static_argnames=("head_cfg", "ransac_cfg", "subsample"))
-def _register_chunk_from_root(
+@partial(jax.jit, static_argnames=("head_cfg", "subsample"))
+def _coords_chunk_from_root(
     encoder_params,
     head_params,
     head_cfg: HeadConfig,
     canvases_full,  # (N, H, W) device-resident root canvases
     sizes_full,  # (N, 2)
     idx,  # (B,) indices into the root
-    focals,  # (B,)
-    keys,  # (B, 2)
-    ransac_cfg: RansacConfig,
     subsample: int = 8,
 ):
     """Single-device chunk path gathering frames from the scene's one-time
     canvas upload (no per-round host->device image traffic)."""
-    return _register_chunk.__wrapped__(
+    return _coords_chunk.__wrapped__(
         encoder_params,
         head_params,
         head_cfg,
         canvases_full[idx],
         sizes_full[idx],
-        focals,
-        keys,
-        ransac_cfg,
         subsample,
     )
 
@@ -269,29 +304,42 @@ def register_frames(
     if mesh is None:
         canv_dev, sizes_dev, root_idx = scene.images.device_view()
 
+    H, W = scene.images.canvas_hw
+    sub8 = 8
+    grid = get_pixel_grid(H // sub8, W // sub8, sub8)
+
     def _run_chunk(idx_p, keys, ransac_cfg):
+        chunk_n = len(idx_p)
         if mesh is None:
-            return _register_chunk_from_root(
+            coords, mask_lr = _coords_chunk_from_root(
                 encoder_params,
                 head_params,
                 head_cfg,
                 canv_dev,
                 sizes_dev,
                 jnp.asarray(root_idx[idx_p], jnp.int32),
-                jnp.asarray(focals_canvas[idx_p], jnp.float32),
-                keys,
-                ransac_cfg,
             )
-        # mesh path: per-chunk upload + row sharding (the root array lives
-        # on one device; sharded registration feeds from host slices)
-        return _register_chunk(
-            encoder_params,
-            head_params,
-            head_cfg,
-            _maybe_shard(jnp.asarray(images[idx_p])),
-            _maybe_shard(jnp.asarray(sizes[idx_p])),
-            _maybe_shard(jnp.asarray(focals_canvas[idx_p], jnp.float32)),
-            _maybe_shard(keys),
+            focals_c = jnp.asarray(focals_canvas[idx_p], jnp.float32)
+        else:
+            # mesh path: per-chunk upload + row sharding (the root array
+            # lives on one device; sharded registration feeds host slices)
+            coords, mask_lr = _coords_chunk(
+                encoder_params,
+                head_params,
+                head_cfg,
+                _maybe_shard(jnp.asarray(images[idx_p])),
+                _maybe_shard(jnp.asarray(sizes[idx_p])),
+            )
+            focals_c = _maybe_shard(jnp.asarray(focals_canvas[idx_p], jnp.float32))
+            keys = _maybe_shard(keys)
+        return _ransac_chunk(
+            coords,
+            mask_lr,
+            grid,
+            focals_c,
+            jnp.full((chunk_n,), W / 2.0, jnp.float32),
+            jnp.full((chunk_n,), H / 2.0, jnp.float32),
+            keys,
             ransac_cfg,
         )
 
@@ -301,10 +349,10 @@ def register_frames(
         idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, chunk)
-        out = _run_chunk(idx_p, keys, cfg.ransac)
-        poses_c2w = np.asarray(out["pose_c2w"], np.float64)
-        confs = np.asarray(out["inlier_count"])
-        valids = np.asarray(out["valid"])
+        out = jax.device_get(_run_chunk(idx_p, keys, cfg.ransac))
+        poses_c2w = out["pose_c2w"].astype(np.float64)
+        confs = out["inlier_count"]
+        valids = out["valid"]
         for j, i in enumerate(idx):
             if not valids[j]:
                 failed_idx.append(int(i))
@@ -338,10 +386,10 @@ def register_frames(
             idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, chunk)
-            out = _run_chunk(idx_p, keys, retry_cfg)
-            poses_c2w = np.asarray(out["pose_c2w"], np.float64)
-            confs = np.asarray(out["inlier_count"])
-            valids = np.asarray(out["valid"])
+            out = jax.device_get(_run_chunk(idx_p, keys, retry_cfg))
+            poses_c2w = out["pose_c2w"].astype(np.float64)
+            confs = out["inlier_count"]
+            valids = out["valid"]
             for j, i in enumerate(idx):
                 if valids[j]:
                     slot = entry_slot[int(i)]

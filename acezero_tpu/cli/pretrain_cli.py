@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--coarse_supervision", action="store_true",
                    help="use the order-0 warped-map supervision instead of "
                         "exact ray-cast GT (legacy v2/v3 recipe)")
+    p.add_argument("--contrastive_weight", type=float, default=0.0,
+                   help="correspondence-InfoNCE weight (same-scene view pairs)")
+    p.add_argument("--candidates", type=int, default=1,
+                   help="train N candidate encoders (different training "
+                        "seeds, shared corpus) and keep the best by the "
+                        "feature-matching + short-fit quality probes")
     args = p.parse_args(argv)
 
     cfg = PretrainConfig(
@@ -66,8 +72,14 @@ def main(argv: list[str] | None = None) -> int:
         focal_max=args.focal_max,
         texture_octaves_max=args.texture_octaves_max,
         exact_supervision=not args.coarse_supervision,
+        contrastive_weight=args.contrastive_weight,
     )
-    pretrain_encoder(cfg, output_path=args.output)
+    if args.candidates > 1:
+        from acezero_tpu.pretrain.encoder_pretrain import pretrain_encoder_select
+
+        pretrain_encoder_select(cfg, n_candidates=args.candidates, output_path=args.output)
+    else:
+        pretrain_encoder(cfg, output_path=args.output)
     return 0
 
 

@@ -77,6 +77,17 @@ class PretrainConfig:
     texture_octaves_max: int = 1
     exact_supervision: bool = True
     max_occ_boxes: int = 4
+    # correspondence-contrastive loss (encoder v5): batches become same-scene
+    # view PAIRS; cross-view cells whose exact GT points coincide (< tau_pos)
+    # are positives in a symmetric InfoNCE over cosine feature similarity.
+    # This optimizes cross-view feature matching *directly* — the property
+    # scene-coordinate fitting actually needs — instead of hoping it emerges
+    # from per-view regression (measured: regression-only runs land anywhere
+    # between 27% and 57% match@10cm on held-out scenes; see round-2 notes).
+    contrastive_weight: float = 0.0
+    contrastive_tau_pos: float = 0.075  # meters; ~2 stride-8 cells at 2.5 m
+    contrastive_temp: float = 0.1
+    grad_clip_norm: float = 10.0  # 0 disables; heads clip per scene
 
 
 def _render_corpus_scene(views: int, kwargs: dict):
@@ -241,17 +252,84 @@ def _pretrain_chunk(params, opt_state, data, key, step0, cfg: PretrainConfig, he
         repro = jnp.sum(w * jnp.tanh(err / w) * mask_f) / n_valid
 
         loss = cfg.coord_loss_weight * coord_l2 + cfg.repro_loss_weight * repro
-        return loss, (coord_l2, repro)
+
+        contrast = jnp.float32(0.0)
+        if cfg.contrastive_weight > 0.0:
+            contrast = _contrastive_loss(feats, gt, mask, cfg)
+            loss = loss + cfg.contrastive_weight * contrast
+        return loss, (coord_l2, repro, contrast)
+
+    def _contrastive_loss(feats, gt, mask, cfg: PretrainConfig):
+        """Symmetric InfoNCE over exact cross-view cell correspondences.
+
+        feats: (B, hs, ws, C) with B = 2P same-scene pairs (2i, 2i+1);
+        gt: (B, hs, ws, 3) exact coordinates; mask: (B, hs, ws) valid cells.
+        """
+        B = feats.shape[0]
+        N = feats.shape[1] * feats.shape[2]
+        f = feats.reshape(B, N, -1).astype(jnp.float32)
+        f = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-6)
+        g = gt.reshape(B, N, 3)
+        m = mask.reshape(B, N)
+        fa, fb = f[0::2], f[1::2]  # (P, N, C)
+        ga, gb = g[0::2], g[1::2]
+        ma, mb = m[0::2], m[1::2]
+
+        d2 = jnp.sum((ga[:, :, None, :] - gb[:, None, :, :]) ** 2, axis=-1)
+        # exclude invalid B cells from the nearest-point search
+        d2 = jnp.where(mb[:, None, :], d2, jnp.inf)
+        jstar = jnp.argmin(d2, axis=2)  # (P, N)
+        dmin2 = jnp.min(d2, axis=2)
+        pos_a = (dmin2 < cfg.contrastive_tau_pos**2) & ma  # (P, N)
+
+        sim = jnp.einsum("pnc,pmc->pnm", fa, fb) / cfg.contrastive_temp
+        sim = jnp.where(mb[:, None, :], sim, -jnp.inf)
+        logp_ab = jax.nn.log_softmax(sim, axis=2)
+        ce_ab = -jnp.take_along_axis(logp_ab, jstar[..., None], axis=2)[..., 0]
+
+        sim_t = jnp.where(ma[:, :, None], sim, -jnp.inf)
+        logp_ba = jax.nn.log_softmax(sim_t, axis=1)
+        ce_ba = -jnp.take_along_axis(logp_ba, jstar[..., None], axis=2)[..., 0]
+
+        w = pos_a.astype(jnp.float32)
+        n_pos = jnp.maximum(jnp.sum(w), 1.0)
+        return jnp.sum((ce_ab + ce_ba) * 0.5 * w) / n_pos
+
+    V = cfg.views_per_scene
+
+    def _sample_batch(k_batch):
+        if cfg.contrastive_weight > 0.0:
+            # same-scene NEARBY view pairs interleaved (2i, 2i+1): views sit
+            # on a ring, so +-1..4 ring-neighbors guarantee visual overlap
+            # (a random pair of outward-looking views usually shares nothing,
+            # which starves the loss of positives)
+            P = cfg.batch_images // 2
+            k_s, k_v1, k_v2, k_sign = jax.random.split(k_batch, 4)
+            scene_sel = jax.random.randint(k_s, (P,), 0, cfg.num_scenes)
+            off1 = jax.random.randint(k_v1, (P,), 0, V)
+            delta = jax.random.randint(k_v2, (P,), 1, min(5, V))
+            sign = jax.random.bernoulli(k_sign, 0.5, (P,)).astype(jnp.int32) * 2 - 1
+            off2 = (off1 + sign * delta) % V
+            return (scene_sel[:, None] * V + jnp.stack([off1, off2], -1)).reshape(-1)
+        return jax.random.randint(k_batch, (cfg.batch_images,), 0, n_total)
 
     def step_fn(carry, i):
         params, opt_state, key = carry
         key, k_batch, k_aug = jax.random.split(key, 3)
-        batch_idx = jax.random.randint(k_batch, (cfg.batch_images,), 0, n_total)
-        (loss, (l2, rp)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        batch_idx = _sample_batch(k_batch)
+        (loss, (l2, rp, ct)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch_idx, k_aug
         )
         lr = _lr_at(cfg, step0 + i)
         finite = jnp.isfinite(loss)
+        if cfg.grad_clip_norm > 0.0:
+            from acezero_tpu.training.optim import clip_global_norm, clip_per_row_norm
+
+            enc_grads, _ = clip_global_norm(grads["encoder"], cfg.grad_clip_norm)
+            # heads clip per scene so one diverging head cannot shrink (or
+            # dominate) everyone else's update through a shared scale
+            head_grads, _ = clip_per_row_norm(grads["heads"], cfg.grad_clip_norm)
+            grads = {"encoder": enc_grads, "heads": head_grads}
         # split updates: heads learn fast; the shared encoder updates gently
         # and without weight decay (decayed dead-ReLU channels never recover)
         enc_opt, head_opt = opt_state
@@ -265,7 +343,9 @@ def _pretrain_chunk(params, opt_state, data, key, step0, cfg: PretrainConfig, he
         )
         params = {"encoder": enc_params, "heads": head_params}
         opt_state = (enc_opt, head_opt)
-        return (params, opt_state, key), {"loss": loss, "coord_l2": l2, "repro": rp}
+        return (params, opt_state, key), {
+            "loss": loss, "coord_l2": l2, "repro": rp, "contrast": ct
+        }
 
     (params, opt_state, key), stats = jax.lax.scan(
         step_fn, (params, opt_state, key), jnp.arange(cfg.chunk_steps)
@@ -331,8 +411,9 @@ def pretrain_encoder(
         last = {k: float(np.asarray(v)[-1]) for k, v in stats.items()}
         history.append(last)
         _logger.info(
-            "pretrain step %5d/%d  loss %.4f  coord_l2 %.4f  repro %.2f  (%.0fs)",
-            step, cfg.steps, last["loss"], last["coord_l2"], last["repro"], time.time() - t0,
+            "pretrain step %5d/%d  loss %.4f  coord_l2 %.4f  repro %.2f  contrast %.3f  (%.0fs)",
+            step, cfg.steps, last["loss"], last["coord_l2"], last["repro"],
+            last.get("contrast", 0.0), time.time() - t0,
         )
 
     encoder = jax.device_get(params["encoder"])
@@ -340,3 +421,51 @@ def pretrain_encoder(
         save_encoder(output_path, encoder)
         _logger.info("Saved pretrained encoder to %s", output_path)
     return {"encoder": encoder, "history": history, "seconds": time.time() - t0}
+
+
+def pretrain_encoder_select(
+    cfg: PretrainConfig = PretrainConfig(),
+    n_candidates: int = 3,
+    output_path: str | Path | None = None,
+) -> dict:
+    """Train several candidate encoders and keep the best by measured quality.
+
+    Pretraining outcome varies strongly between runs with identical configs
+    (round-2 measurement: 27%-57% cross-view match@10cm for one recipe), so
+    the artifact that ships is chosen by the two quality probes in
+    pretrain.encoder_eval (feature matching + short scene-map fit), not by
+    the training loss. The corpus is rendered once and shared; candidates
+    differ only in the training PRNG seed.
+    """
+    from dataclasses import replace as _replace
+
+    from acezero_tpu.pretrain.encoder_eval import evaluate_encoder
+
+    corpus = build_corpus(cfg)
+    best = None
+    results = []
+    for c in range(n_candidates):
+        ccfg = _replace(cfg, seed=cfg.seed + 101 * c)
+        res = pretrain_encoder(ccfg, corpus=corpus)
+        import jax.numpy as _jnp
+        import jax as _jax
+
+        enc_dev = _jax.tree.map(_jnp.asarray, res["encoder"])
+        scores = evaluate_encoder(enc_dev)
+        _logger.info(
+            "candidate %d/%d: match %.1f%% shortfit %.1f%% -> combined %.1f",
+            c + 1, n_candidates, scores.match_at_10cm,
+            scores.shortfit_inlier10 or float("nan"), scores.combined,
+        )
+        results.append({"seed": ccfg.seed, "scores": scores})
+        if best is None or scores.combined > best[1].combined:
+            best = (res, scores)
+    res, scores = best
+    if output_path is not None:
+        save_encoder(output_path, res["encoder"])
+        _logger.info(
+            "Saved best candidate (match %.1f%%, shortfit %.1f%%) to %s",
+            scores.match_at_10cm, scores.shortfit_inlier10 or float("nan"),
+            output_path,
+        )
+    return {"encoder": res["encoder"], "scores": scores, "candidates": results}

@@ -70,3 +70,37 @@ def adamw_update(
     mu_new = jax.tree.map(lambda x: x[1], out, is_leaf=lambda x: isinstance(x, tuple))
     nu_new = jax.tree.map(lambda x: x[2], out, is_leaf=lambda x: isinstance(x, tuple))
     return params_new, AdamWState(step=step, mu=mu_new, nu=nu_new)
+
+
+def clip_global_norm(grads, max_norm: float):
+    """Scale `grads` so their global L2 norm is at most `max_norm`."""
+    import jax as _jax
+
+    leaves = _jax.tree.leaves(grads)
+    gn = jnp.sqrt(sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves))
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gn, 1e-9))
+    return _jax.tree.map(lambda l: (l * scale).astype(l.dtype), grads), gn
+
+
+def clip_per_row_norm(grads, max_norm: float):
+    """Clip a stacked pytree (leading axis = independent models) per row.
+
+    Each row (e.g. one scene head in the pretraining head stack) is clipped
+    by its own norm, so a single diverging model cannot zero out everyone
+    else's update through a shared global scale.
+    """
+    import jax as _jax
+
+    leaves = _jax.tree.leaves(grads)
+    sq = sum(
+        jnp.sum(l.astype(jnp.float32) ** 2, axis=tuple(range(1, l.ndim)))
+        for l in leaves
+    )  # (S,)
+    gn = jnp.sqrt(sq)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gn, 1e-9))  # (S,)
+
+    def _apply(l):
+        s = scale.reshape((-1,) + (1,) * (l.ndim - 1))
+        return (l * s).astype(l.dtype)
+
+    return _jax.tree.map(_apply, grads), gn

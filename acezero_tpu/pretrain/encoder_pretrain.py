@@ -446,7 +446,14 @@ def pretrain_encoder_select(
     results = []
     for c in range(n_candidates):
         ccfg = _replace(cfg, seed=cfg.seed + 101 * c)
-        res = pretrain_encoder(ccfg, corpus=corpus)
+        # checkpoint every candidate as it completes — a long selection run
+        # must not lose finished work if a later candidate dies or stalls
+        cand_path = (
+            Path(output_path).with_suffix(f".cand{c}.pt")
+            if output_path is not None
+            else None
+        )
+        res = pretrain_encoder(ccfg, corpus=corpus, output_path=cand_path)
         import jax.numpy as _jnp
         import jax as _jax
 

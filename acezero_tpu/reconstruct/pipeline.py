@@ -93,17 +93,32 @@ class AceZeroPipeline:
 
         if encoder_params is not None:
             self.encoder_params = encoder_params
-        elif cfg.encoder_path is not None and Path(cfg.encoder_path).exists():
-            self.encoder_params = jax.tree.map(
-                lambda x: jax.numpy.asarray(x), torch_io.load_encoder(cfg.encoder_path)
-            )
-            _logger.info("Loaded pretrained encoder from %s", cfg.encoder_path)
         else:
-            _logger.warning(
-                "No pretrained encoder available — using random initialization. "
-                "Reconstruction quality will be substantially reduced."
-            )
-            self.encoder_params = init_encoder_params(jax.random.PRNGKey(cfg.base_seed))
+            enc_path = None
+            if cfg.encoder_path is not None and Path(cfg.encoder_path).exists():
+                enc_path = Path(cfg.encoder_path)
+            else:
+                # like the reference's default ace_encoder_pretrained.pt
+                # (ace_network.py:14-59): fall back to the newest shipped
+                # scene-agnostic encoder so a bare image-glob run works
+                weights_dir = Path(__file__).resolve().parents[2] / "weights"
+                for cand in ("tpu_encoder_v5.pt", "tpu_encoder_v2.pt"):
+                    if (weights_dir / cand).exists():
+                        enc_path = weights_dir / cand
+                        break
+            if enc_path is not None:
+                self.encoder_params = jax.tree.map(
+                    lambda x: jax.numpy.asarray(x), torch_io.load_encoder(enc_path)
+                )
+                _logger.info("Loaded pretrained encoder from %s", enc_path)
+            else:
+                _logger.warning(
+                    "No pretrained encoder available — using random initialization. "
+                    "Reconstruction quality will be substantially reduced."
+                )
+                self.encoder_params = init_encoder_params(
+                    jax.random.PRNGKey(cfg.base_seed)
+                )
 
         self.head_cfg = HeadConfig(
             num_head_blocks=cfg.num_head_blocks, use_homogeneous=cfg.use_homogeneous
@@ -116,13 +131,14 @@ class AceZeroPipeline:
             # bare image-glob UX (reference ace_zero.py:170-173 boots ZoeDepth
             # automatically): fall back to the learned in-process estimator.
             # NOTE: depth heads consume the ENCODER's features, so each head
-            # is paired with the encoder it was trained on (v2 head <-> v3
-            # encoder, v1 head <-> v2 encoder).
+            # is paired with the encoder it was trained on (v3 head <-> v5
+            # encoder, v1 head <-> v2 encoder; the v2 head targeted the
+            # retired v3 encoder and is no longer preferred).
             weights_dir = Path(__file__).resolve().parents[2] / "weights"
             candidates = (
                 [cfg.depth_network]
                 if cfg.depth_network
-                else [weights_dir / "tpu_depth_v2.pt", weights_dir / "tpu_depth_v1.pt"]
+                else [weights_dir / "tpu_depth_v3.pt", weights_dir / "tpu_depth_v1.pt"]
             )
             for depth_net in candidates:
                 if Path(depth_net).exists():

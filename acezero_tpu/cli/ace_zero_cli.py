@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--final_refine", type=_strtobool, default=True)
     g.add_argument("--final_refit", type=_strtobool, default=True)
     g.add_argument("--final_refit_posewait", type=int, default=5000)
+    g.add_argument("--final_refit_cycles", type=int, default=3,
+                   help="extra refit<->register cycles after convergence "
+                        "(drains loop drift on ring captures; 1 = reference)")
     g.add_argument("--refit_iterations", type=int, default=25000)
     g.add_argument("--registration_confidence", type=int, default=500)
     g.add_argument("--try_seeds", type=int, default=5)
@@ -110,6 +113,7 @@ def config_from_args(args: argparse.Namespace) -> AceZeroConfig:
         final_refine=args.final_refine,
         final_refit=args.final_refit,
         final_refit_posewait=args.final_refit_posewait,
+        final_refit_cycles=args.final_refit_cycles,
         refit_iterations=args.refit_iterations,
         registration_confidence=args.registration_confidence,
         try_seeds=args.try_seeds,

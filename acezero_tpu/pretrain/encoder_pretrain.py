@@ -255,15 +255,27 @@ def _pretrain_chunk(params, opt_state, data, key, step0, cfg: PretrainConfig, he
 
         contrast = jnp.float32(0.0)
         if cfg.contrastive_weight > 0.0:
-            contrast = _contrastive_loss(feats, gt, mask, cfg)
+            # per-cell positive radius: ~1.25 stride-8 cell spacings at the
+            # cell's depth (8 * z / f'). A fixed metric tau starves the loss
+            # of positives whenever cell spacing exceeds it (far walls, small
+            # images, short focals) — measured as intermittent contrast=0
+            # steps at 192x256 and total silence at 96x128.
+            z_cam = (
+                jnp.einsum("bij,bhwj->bhwi", w2c[:, :3, :3], gt)
+                + w2c[:, :3, 3][:, None, None, :]
+            )[..., 2]
+            spacing = sub * jnp.maximum(z_cam, 0.1) / f_aug
+            tau = jnp.maximum(1.25 * spacing, cfg.contrastive_tau_pos)
+            contrast = _contrastive_loss(feats, gt, mask, tau, cfg)
             loss = loss + cfg.contrastive_weight * contrast
         return loss, (coord_l2, repro, contrast)
 
-    def _contrastive_loss(feats, gt, mask, cfg: PretrainConfig):
+    def _contrastive_loss(feats, gt, mask, tau, cfg: PretrainConfig):
         """Symmetric InfoNCE over exact cross-view cell correspondences.
 
         feats: (B, hs, ws, C) with B = 2P same-scene pairs (2i, 2i+1);
-        gt: (B, hs, ws, 3) exact coordinates; mask: (B, hs, ws) valid cells.
+        gt: (B, hs, ws, 3) exact coordinates; mask: (B, hs, ws) valid cells;
+        tau: (B, hs, ws) per-cell positive radius in meters.
         """
         B = feats.shape[0]
         N = feats.shape[1] * feats.shape[2]
@@ -274,13 +286,14 @@ def _pretrain_chunk(params, opt_state, data, key, step0, cfg: PretrainConfig, he
         fa, fb = f[0::2], f[1::2]  # (P, N, C)
         ga, gb = g[0::2], g[1::2]
         ma, mb = m[0::2], m[1::2]
+        tau_a = tau.reshape(B, N)[0::2]
 
         d2 = jnp.sum((ga[:, :, None, :] - gb[:, None, :, :]) ** 2, axis=-1)
         # exclude invalid B cells from the nearest-point search
         d2 = jnp.where(mb[:, None, :], d2, jnp.inf)
         jstar = jnp.argmin(d2, axis=2)  # (P, N)
         dmin2 = jnp.min(d2, axis=2)
-        pos_a = (dmin2 < cfg.contrastive_tau_pos**2) & ma  # (P, N)
+        pos_a = (dmin2 < tau_a**2) & ma  # (P, N)
 
         sim = jnp.einsum("pnc,pmc->pnm", fa, fb) / cfg.contrastive_temp
         sim = jnp.where(mb[:, None, :], sim, -jnp.inf)
@@ -307,7 +320,8 @@ def _pretrain_chunk(params, opt_state, data, key, step0, cfg: PretrainConfig, he
             k_s, k_v1, k_v2, k_sign = jax.random.split(k_batch, 4)
             scene_sel = jax.random.randint(k_s, (P,), 0, cfg.num_scenes)
             off1 = jax.random.randint(k_v1, (P,), 0, V)
-            delta = jax.random.randint(k_v2, (P,), 1, min(5, V))
+            delta_max = max(1, min(4, V // 8))  # stay within ~45 deg on the ring
+            delta = jax.random.randint(k_v2, (P,), 1, delta_max + 1)
             sign = jax.random.bernoulli(k_sign, 0.5, (P,)).astype(jnp.int32) * 2 - 1
             off2 = (off1 + sign * delta) % V
             return (scene_sel[:, None] * V + jnp.stack([off1, off2], -1)).reshape(-1)

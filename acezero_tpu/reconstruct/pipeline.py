@@ -634,6 +634,41 @@ class AceZeroPipeline:
                 scheduled_to_stop_early = True
             max_rate = max(rate, max_rate)
 
+        # ---------------- extra refit cycles (drift drain) ----------------
+        # beyond-reference: repeat refit->register after convergence; ring
+        # captures need it to drain accumulated translation drift (see
+        # AceZeroConfig.final_refit_cycles). Each cycle is one fresh dyntanh
+        # refit + one registration pass (~1 min on one chip at 60 frames).
+        for extra in range(1, max(1, cfg.final_refit_cycles) if cfg.final_refit else 1):
+            iteration += 1
+            iteration_id = f"iteration{iteration}"
+            mapping_scene = self._mapping_scene_from_entries(entries)
+            _logger.info(
+                "%s: extra refit cycle %d on %d frames", iteration_id, extra, len(mapping_scene)
+            )
+            trainer = MappingTrainer(
+                mapping_scene,
+                self.encoder_params,
+                self.head_cfg,
+                self._refit_train_cfg(),
+                self._buffer_cfg(),
+                base_seed=cfg.base_seed + extra,
+                mesh=self.mesh,
+            )
+            with stage("mapping", trace=True):
+                result = trainer.train()
+            head_params = result["head_params"]
+            torch_io.save_head(
+                self.out / f"{iteration_id}.pt", jax.device_get(head_params), self.head_cfg
+            )
+            focal_estimate = result["focal_orig"] or focal_estimate
+            entries = self._register_all(head_params, iteration_id, focal_override=focal_estimate)
+            rate = registration_rates(
+                [e.confidence for e in entries], [cfg.registration_confidence]
+            )[0]
+            _logger.info("%s: registered %.1f%% of all frames.", iteration_id, rate * 100)
+            rate_history.append(rate)
+
         # ------------------------- outputs --------------------------------
         if self.visualizer is not None:
             _logger.info("Rendering final sweep.")

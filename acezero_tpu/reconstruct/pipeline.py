@@ -102,7 +102,7 @@ class AceZeroPipeline:
                 # (ace_network.py:14-59): fall back to the newest shipped
                 # scene-agnostic encoder so a bare image-glob run works
                 weights_dir = Path(__file__).resolve().parents[2] / "weights"
-                for cand in ("tpu_encoder_v5.pt", "tpu_encoder_v2.pt"):
+                for cand in ("tpu_encoder_v6.pt", "tpu_encoder_v5.pt", "tpu_encoder_v2.pt"):
                     if (weights_dir / cand).exists():
                         enc_path = weights_dir / cand
                         break
@@ -131,14 +131,14 @@ class AceZeroPipeline:
             # bare image-glob UX (reference ace_zero.py:170-173 boots ZoeDepth
             # automatically): fall back to the learned in-process estimator.
             # NOTE: depth heads consume the ENCODER's features, so each head
-            # is paired with the encoder it was trained on (v3 head <-> v5
+            # is paired with the encoder it was trained on (v4 head <-> v6, v3 <-> v5
             # encoder, v1 head <-> v2 encoder; the v2 head targeted the
             # retired v3 encoder and is no longer preferred).
             weights_dir = Path(__file__).resolve().parents[2] / "weights"
             candidates = (
                 [cfg.depth_network]
                 if cfg.depth_network
-                else [weights_dir / "tpu_depth_v3.pt", weights_dir / "tpu_depth_v1.pt"]
+                else [weights_dir / "tpu_depth_v4.pt", weights_dir / "tpu_depth_v3.pt", weights_dir / "tpu_depth_v1.pt"]
             )
             for depth_net in candidates:
                 if Path(depth_net).exists():

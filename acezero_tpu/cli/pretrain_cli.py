@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
                         "exact ray-cast GT (legacy v2/v3 recipe)")
     p.add_argument("--contrastive_weight", type=float, default=0.0,
                    help="correspondence-InfoNCE weight (same-scene view pairs)")
+    p.add_argument("--pitch_frac", type=float, default=0.0,
+                   help="fraction of corpus views tilted steeply toward floor/ceiling")
+    p.add_argument("--far_pair_frac", type=float, default=0.0,
+                   help="fraction of contrastive pairs at arbitrary ring separation")
     p.add_argument("--candidates", type=int, default=1,
                    help="train N candidate encoders (different training "
                         "seeds, shared corpus) and keep the best by the "
@@ -73,6 +77,8 @@ def main(argv: list[str] | None = None) -> int:
         texture_octaves_max=args.texture_octaves_max,
         exact_supervision=not args.coarse_supervision,
         contrastive_weight=args.contrastive_weight,
+        pitch_frac=args.pitch_frac,
+        far_pair_frac=args.far_pair_frac,
     )
     if args.candidates > 1:
         from acezero_tpu.pretrain.encoder_pretrain import pretrain_encoder_select

@@ -117,6 +117,7 @@ def render_scene(
     texture_strength: float = 1.0,
     photometric: bool = False,
     texture_octaves: int = 1,
+    pitch_frac: float = 0.0,
 ) -> SyntheticScene:
     """`look`: camera orientation pattern — "outward" (panorama-like ring,
     weakly conditioned view graph) or "across" (convergent views through the
@@ -173,6 +174,16 @@ def render_scene(
             target = rng.normal(size=3) * 0.15 * box_half  # through the center
         else:
             target = position + np.array([np.cos(angle), rng.normal() * 0.2, np.sin(angle)])
+        if pitch_frac > 0.0:
+            # tilt a fraction of views steeply toward floor/ceiling: grazing
+            # surface views are where viewpoint-invariance is hardest (the
+            # registration failures cluster on floor-dominant frames), and a
+            # level-ring corpus never shows them. Draws happen after the
+            # per-view base draws, so pitch_frac=0 scenes stay bit-identical.
+            if rng.random() < pitch_frac:
+                target = target + np.array(
+                    [0.0, rng.uniform(-1.2, 1.2) * box_half, 0.0]
+                )
         R = _look_at(position, target)
 
         T = np.eye(4)

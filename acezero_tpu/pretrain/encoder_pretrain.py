@@ -88,6 +88,13 @@ class PretrainConfig:
     contrastive_tau_pos: float = 0.075  # meters; ~2 stride-8 cells at 2.5 m
     contrastive_temp: float = 0.1
     grad_clip_norm: float = 10.0  # 0 disables; heads clip per scene
+    # corpus viewpoint diversity (encoder v7): fraction of views tilted
+    # steeply toward floor/ceiling (grazing-surface appearance), and
+    # fraction of contrastive pairs drawn at arbitrary ring separation
+    # (wide-baseline viewpoint-invariance pressure; nearby pairs remain the
+    # bulk so positives stay dense)
+    pitch_frac: float = 0.0
+    far_pair_frac: float = 0.0
 
 
 def _render_corpus_scene(views: int, kwargs: dict):
@@ -120,6 +127,7 @@ def build_corpus(cfg: PretrainConfig):
                 photometric=cfg.photometric,
                 look=look,
                 texture_octaves=octaves,
+                pitch_frac=cfg.pitch_frac,
             )
         )
 
@@ -317,13 +325,19 @@ def _pretrain_chunk(params, opt_state, data, key, step0, cfg: PretrainConfig, he
             # (a random pair of outward-looking views usually shares nothing,
             # which starves the loss of positives)
             P = cfg.batch_images // 2
-            k_s, k_v1, k_v2, k_sign = jax.random.split(k_batch, 4)
+            k_s, k_v1, k_v2, k_sign, k_far, k_fsel = jax.random.split(k_batch, 6)
             scene_sel = jax.random.randint(k_s, (P,), 0, cfg.num_scenes)
             off1 = jax.random.randint(k_v1, (P,), 0, V)
             delta_max = max(1, min(4, V // 8))  # stay within ~45 deg on the ring
             delta = jax.random.randint(k_v2, (P,), 1, delta_max + 1)
             sign = jax.random.bernoulli(k_sign, 0.5, (P,)).astype(jnp.int32) * 2 - 1
             off2 = (off1 + sign * delta) % V
+            if cfg.far_pair_frac > 0.0:
+                # wide-baseline pairs at any separation; positives exist
+                # wherever views are covisible (adaptive tau finds them)
+                off_far = jax.random.randint(k_far, (P,), 1, V)
+                use_far = jax.random.bernoulli(k_fsel, cfg.far_pair_frac, (P,))
+                off2 = jnp.where(use_far, (off1 + off_far) % V, off2)
             return (scene_sel[:, None] * V + jnp.stack([off1, off2], -1)).reshape(-1)
         return jax.random.randint(k_batch, (cfg.batch_images,), 0, n_total)
 

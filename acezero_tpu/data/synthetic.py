@@ -120,8 +120,10 @@ def render_scene(
     pitch_frac: float = 0.0,
 ) -> SyntheticScene:
     """`look`: camera orientation pattern — "outward" (panorama-like ring,
-    weakly conditioned view graph) or "across" (convergent views through the
-    room center: strong parallax overlap, the well-conditioned case).
+    weakly conditioned view graph), "across" (convergent views through the
+    room center: strong parallax overlap), or "sweep" (forward-facing arc:
+    cameras on the back half of the ring all looking at the front wall —
+    the 7-Scenes-style handheld-scan regime with no loop to close).
 
     `texture_strength` < 1 renders texture-poor surfaces; `photometric=True`
     adds per-view exposure gain, vignetting, and sensor noise — non-multi-
@@ -162,7 +164,11 @@ def render_scene(
     d_cam = np.stack([(uu - cx) / focal, (vv - cy) / focal, np.ones_like(uu)], axis=-1)
 
     for i in range(n_views):
-        angle = 2 * np.pi * i / n_views + rng.normal() * 0.05
+        if look == "sweep":
+            # forward-facing arc: back-half positions, front-wall targets
+            angle = np.pi * (0.75 + 0.5 * i / max(n_views - 1, 1)) + rng.normal() * 0.03
+        else:
+            angle = 2 * np.pi * i / n_views + rng.normal() * 0.05
         position = np.array(
             [
                 spread * np.cos(angle) + rng.normal() * 0.1,
@@ -172,6 +178,17 @@ def render_scene(
         )
         if look == "across":
             target = rng.normal(size=3) * 0.15 * box_half  # through the center
+        elif look == "sweep":
+            # look toward the front wall (the arc faces -x after the 3pi/4
+            # offset above... front = +x here: angle centered at pi means
+            # positions at x<0, so targets sit on the +x wall region)
+            target = np.array(
+                [
+                    0.8 * box_half,
+                    rng.normal() * 0.25 * box_half,
+                    rng.normal() * 0.35 * box_half,
+                ]
+            )
         else:
             target = position + np.array([np.cos(angle), rng.normal() * 0.2, np.sin(angle)])
         if pitch_frac > 0.0:

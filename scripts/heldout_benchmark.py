@@ -41,6 +41,14 @@ _logger = logging.getLogger("heldout")
 # error). No real scene is a single-scale random checkerboard; one such
 # scene is kept, clearly named, as an aliasing stress case.
 SCENES = [
+    # forward-facing scan regime — the geometry class of the BASELINE north
+    # star (7-Scenes chess is a handheld desk scan, not a 360 ring): no loop
+    # to close, so accuracy isolates map/registration quality from ring drift
+    ("sweep_a", dict(seed=7007, look="sweep", focal=525.0, n_occluders=2,
+                     texture_octaves=3)),
+    ("sweep_b", dict(seed=7008, look="sweep", focal=560.0, n_occluders=3,
+                     texture_octaves=3)),
+    # 360-ring regime (Mip-360-style geometry; accumulates loop drift)
     ("chesslike_a", dict(seed=7001, look="across", focal=520.0, n_occluders=2,
                          texture_octaves=3)),
     ("chesslike_b", dict(seed=7002, look="across", focal=560.0, n_occluders=3,

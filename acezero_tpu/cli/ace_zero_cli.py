@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--final_refine", type=_strtobool, default=True)
     g.add_argument("--final_refit", type=_strtobool, default=True)
     g.add_argument("--final_refit_posewait", type=int, default=5000)
-    g.add_argument("--final_refit_cycles", type=int, default=3,
+    g.add_argument("--final_refit_cycles", type=int, default=1,
                    help="extra refit<->register cycles after convergence "
                         "(drains loop drift on ring captures; 1 = reference)")
     g.add_argument("--refit_iterations", type=int, default=25000)

@@ -27,11 +27,13 @@ class AceZeroConfig:
     final_refit: bool = True
     final_refit_posewait: int = 5000
     # extra refit<->register cycles after the loop converges (beyond the
-    # reference's single final pass). Ring-topology captures accumulate
-    # translation drift the single pass cannot drain: measured on a held-out
-    # 60-view ring, extra cycles took 52% -> 73% @5cm/5deg (plateau at ~3;
-    # more cycles random-walk). 1 = reference behavior.
-    final_refit_cycles: int = 3
+    # reference's single final pass, ace_zero.py:251-256). 1 = reference
+    # behavior (the default). Ring-topology captures accumulate drift a
+    # single pass cannot fully drain; the loop-closure stage below is the
+    # primary mechanism for that, but recipes may opt into extra cycles
+    # (measured on a held-out 60-view ring: cycles took 52% -> 73%
+    # @5cm/5deg, plateau at ~3).
+    final_refit_cycles: int = 1
     refit_iterations: int = 25000
     registration_confidence: int = 500
     try_seeds: int = 5

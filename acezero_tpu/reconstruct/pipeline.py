@@ -286,7 +286,7 @@ class AceZeroPipeline:
             self.head_cfg,
             self._base_train_cfg(cfg.seed_iterations, use_depth=True, refine=False),
             self._buffer_cfg(),
-            base_seed=cfg.base_seed,
+            base_seed=cfg.base_seed + seed_idx,  # same per-seed stream as _map_seeds_parallel
             mesh=self.mesh,
         )
         with stage("seed_mapping", trace=True):

@@ -141,6 +141,32 @@ def main() -> int:
         reg_fps = None
         log(f"registration bench skipped: {exc}")
 
+    # ---- secondary: buffer-fill rate (the round-2 warp win) --------------
+    try:
+        from acezero_tpu.training.buffer import BufferConfig, fill_training_buffer
+
+        n_fill, H, W = 128, 480, 640
+        imgs = np.asarray(
+            jax.device_get(
+                jax.random.randint(jax.random.PRNGKey(5), (n_fill, H, W), 0, 255)
+            ),
+            np.uint8,
+        )
+        szs = np.tile(np.asarray([[H, W]], np.int32), (n_fill, 1))
+        enc_params = init_encoder_params(jax.random.PRNGKey(6))
+        bcfg = BufferConfig(max_buffer_size=n_fill * 1024, samples_per_image=1024,
+                            max_dataset_passes=1)
+        buf = fill_training_buffer(jax.random.PRNGKey(8), enc_params, imgs, szs, bcfg)
+        _ = int(jax.device_get(buf["img_idx"][0]))  # sync (compile incl.)
+        t0 = time.time()
+        buf = fill_training_buffer(jax.random.PRNGKey(9), enc_params, imgs, szs, bcfg)
+        _ = int(jax.device_get(buf["img_idx"][0]))
+        fill_ms = (time.time() - t0) / n_fill * 1000.0
+        log(f"buffer fill: {fill_ms:.1f} ms/image (480x640, 1024 samples, 1 pass)")
+    except Exception as exc:  # noqa: BLE001
+        fill_ms = None
+        log(f"buffer-fill bench skipped: {exc}")
+
     # ONE JSON line on stdout (driver contract); secondary metrics +
     # baseline provenance ride as extra keys on the same object
     result = {
@@ -161,6 +187,13 @@ def main() -> int:
             "unit": "frames/s (32 hyps, 60x80 cells, one chip)",
             "baseline": "~20-30 frames/s, reference DSAC* C++ on 12 CPU threads (measured r1)",
             "vs_baseline": round(reg_fps / 25.0, 2),
+        }
+    if fill_ms is not None:
+        result["secondary"]["buffer_fill_ms_per_image"] = {
+            "value": round(fill_ms, 1),
+            "unit": "ms/image (480x640 canvas, 1024 samples/image, warm)",
+            "baseline": "~15 ms/image, reference fill: 8M rows / ~1 min on V100 w/ 12 loader workers",
+            "vs_baseline": round(15.0 / max(fill_ms, 1e-9), 2),
         }
     print(json.dumps(result))
     return 0

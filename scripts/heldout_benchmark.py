@@ -138,16 +138,33 @@ def main(argv=None) -> int:
     enable_compilation_cache()
 
     names = set(args.scenes.split(",")) if args.scenes else None
-    records = []
     report_path = args.out / "REPORT.jsonl"
     args.out.mkdir(parents=True, exist_ok=True)
+
+    # provenance stamp on every row (round-2 review: stale rows from older
+    # encoders were indistinguishable from current ones)
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "-C", str(REPO), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001
+        sha = "unknown"
+    stamp = {
+        "encoder": Path(args.encoder_path).name,
+        "git_sha": sha,
+        "depth": "learned" if args.learned_depth else "files",
+    }
+
     for name, kwargs in SCENES:
         if names and name not in names:
             continue
         scene_dir = make_scene_dir(args.out, name, kwargs, args.views, args.height, args.width)
         for r in range(args.runs):
             run_dir = args.out / f"{name}_run{r}"
-            rec = {"scene": name, "run": r}
+            rec = {"scene": name, "run": r, **stamp}
             try:
                 rec.update(
                     run_one(scene_dir, run_dir, args.encoder_path, 1305 + 17 * r,
@@ -156,27 +173,49 @@ def main(argv=None) -> int:
             except Exception as exc:  # noqa: BLE001
                 rec["error"] = repr(exc)
                 _logger.exception("%s run %d failed", name, r)
-            records.append(rec)
             with open(report_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             _logger.info("RESULT %s", json.dumps(rec))
 
-    # summary table
-    by_scene: dict[str, list] = {}
+    print(write_summary(args.out))
+    return 0
+
+
+def write_summary(out_dir: Path) -> str:
+    """Regenerate REPORT.md from the ENTIRE jsonl (not just this invocation),
+    grouped by scene and provenance, so the table always reflects every
+    recorded row."""
+    report_path = out_dir / "REPORT.jsonl"
+    records = []
+    if report_path.exists():
+        for line in report_path.read_text().splitlines():
+            if line.strip():
+                records.append(json.loads(line))
+    by_key: dict[tuple, list] = {}
+    scene_order: list[str] = [s for s, _ in SCENES]
     for rec in records:
-        if "acc_5cm5deg" in rec:
-            by_scene.setdefault(rec["scene"], []).append(rec["acc_5cm5deg"])
-    lines = ["| scene | runs | acc@5cm/5deg (min / median / max) |", "|---|---|---|"]
-    for name, accs in by_scene.items():
-        accs = sorted(accs)
+        if "acc_5cm5deg" not in rec:
+            continue
+        key = (rec["scene"], rec.get("encoder", "?"), rec.get("git_sha", "?"),
+               rec.get("depth", "files"))
+        by_key.setdefault(key, []).append(rec["acc_5cm5deg"])
+    lines = [
+        "| scene | encoder | sha | depth | runs | acc@5cm/5deg (min / median / max) |",
+        "|---|---|---|---|---|---|",
+    ]
+    def order(key):
+        scene = key[0]
+        return (scene_order.index(scene) if scene in scene_order else 99, key)
+    for key in sorted(by_key, key=order):
+        accs = sorted(by_key[key])
+        scene, enc, sha_k, depth = key
         lines.append(
-            f"| {name} | {len(accs)} | {accs[0]:.1f}% / "
-            f"{accs[len(accs)//2]:.1f}% / {accs[-1]:.1f}% |"
+            f"| {scene} | {enc} | {sha_k} | {depth} | {len(accs)} | "
+            f"{accs[0]:.1f}% / {accs[len(accs)//2]:.1f}% / {accs[-1]:.1f}% |"
         )
     summary = "\n".join(lines)
-    (args.out / "REPORT.md").write_text(summary + "\n")
-    print(summary)
-    return 0
+    (out_dir / "REPORT.md").write_text(summary + "\n")
+    return summary
 
 
 if __name__ == "__main__":

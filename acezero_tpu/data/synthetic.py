@@ -261,18 +261,41 @@ def render_scene(
 
 
 def scene_coordinate_maps(scene: SyntheticScene, subsample: int = 8) -> np.ndarray:
-    """GT world-coordinate maps (N, h/sub, w/sub, 3) at cell centers."""
+    """Exact GT world-coordinate maps (N, h/sub, w/sub, 3) at cell centers.
+
+    Ray-casts the scene geometry at the framework's cell-center pixel
+    coordinates ((k + 0.5) * subsample, matching
+    geometry.projection.get_pixel_grid) instead of resampling the rendered
+    depth maps — depth samples sit at index+0.5 coordinates, and that
+    half-pixel offset is a systematic ~cm-scale bias that golden tests of
+    sheet alignment cannot tolerate."""
     n, h, w = scene.depth.shape
-    off = subsample // 2
-    d = scene.depth[:, off::subsample, off::subsample]
-    hs, ws = d.shape[1:]
+    hs, ws = h // subsample, w // subsample
     ys = (np.arange(hs) + 0.5) * subsample
     xs = (np.arange(ws) + 0.5) * subsample
     xx, yy = np.meshgrid(xs, ys)
     cx, cy = w / 2.0, h / 2.0
-    x = (xx[None] - cx) / scene.focal * d
-    y = (yy[None] - cy) / scene.focal * d
-    p_cam = np.stack([x, y, d], axis=-1)
-    R = scene.poses_c2w[:, :3, :3]
-    t = scene.poses_c2w[:, :3, 3]
-    return np.einsum("nab,nhwb->nhwa", R, p_cam) + t[:, None, None, :]
+    d_cam = np.stack(
+        [(xx - cx) / scene.focal, (yy - cy) / scene.focal, np.ones_like(xx)], axis=-1
+    )
+    bh = float(scene.box_half)
+    out = np.empty((n, hs, ws, 3), np.float32)
+    for i in range(n):
+        R = scene.poses_c2w[i, :3, :3].astype(np.float64)
+        pos = scene.poses_c2w[i, :3, 3].astype(np.float64)
+        d_world = d_cam @ R.T
+        t_exit = np.full((hs, ws), np.inf)
+        for axis in range(3):
+            d = d_world[..., axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_lo = (-bh - pos[axis]) / d
+                t_hi = (bh - pos[axis]) / d
+            t_far = np.maximum(t_lo, t_hi)
+            t_far = np.where(np.isfinite(t_far), t_far, np.inf)
+            t_exit = np.minimum(t_exit, t_far)
+        t_hit = t_exit
+        for lo, hi in scene.occ_boxes:
+            t_box = _ray_box_entry(pos, d_world, lo, hi)
+            t_hit = np.where(t_box < t_hit, t_box, t_hit)
+        out[i] = (pos + t_hit[..., None] * d_world).astype(np.float32)
+    return out

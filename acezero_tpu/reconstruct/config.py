@@ -95,6 +95,15 @@ class AceZeroConfig:
     depth_network: Path | None = None  # learned seed-depth head weights
     registration_frame_chunk: int = 64
 
+    # --- loop closure (beyond-reference; no analogue in ace_zero.py) ---
+    # Sim(3) pose-graph relaxation over cross-view sheet consistency, run
+    # right before each final refit round. Drains the low-frequency drift
+    # that incremental map growth accumulates on ring/360-degree captures
+    # (reconstruct/loopclose.py). Costs one extra device program over the
+    # frames; no-ops gracefully when the graph is degenerate.
+    loop_closure: bool = True
+    loop_closure_max_frames: int = 256  # graph-size cap (memory bound)
+
     # internal knobs (not in the reference surface)
     # device-mesh size: 0 = all visible devices, 1 = single device (no mesh),
     # N>1 = 1-D 'data' mesh over the first N devices (SURVEY.md §2.3)

@@ -1,0 +1,1053 @@
+"""Sim(3) pose-graph loop closure over the learned map's cross-view consistency.
+
+Beyond-reference accuracy mechanism (the reference has no analogue; its ring
+reconstructions rely on the encoder being strong enough that drift stays
+small). ACE0's incremental map growth accumulates low-frequency drift on
+ring/360-degree captures: the scene-coordinate network stores slightly
+misaligned "sheets" of the same geometry for frames registered early vs
+late, and nothing in the mapping loss ever pulls two sheets together —
+pixels of different frames only interact through shared encoder features,
+so a bent map is a stable fixed point of the map->register->map loop
+(measured: refit cycles random-walk the bend, see round-2 held-out report).
+
+This stage drains the drift explicitly:
+
+  1. predict every frame's scene-coordinate map under the current head;
+  2. for k-nearest-neighbor frame pairs (i, j), measure the local sheet
+     misalignment M_ij as a Sim(3) fit of projective 3D-3D correspondences:
+     project frame i's points into frame j's camera, sample frame j's
+     coordinate map there, robust-Umeyama — a batched, fixed-shape ICP that
+     vmaps over pairs (TPU program; all pairs solved simultaneously);
+  3. solve a robust pose-graph relaxation for per-frame corrections S_i
+     (Sim(3)) from the constraints S_i = S_j ∘ M_ij: scale sync, iterated
+     rotation averaging, then translation sync — all three are solves
+     against the same small graph Laplacian (host numpy; N x N);
+  4. apply: c2w_i' = S_i ∘ c2w_i. The following (reference-recipe) refit
+     round retrains the map from the corrected, globally consistent poses.
+
+The pairwise residual before/after is also a useful map-consistency health
+metric: registration confidence (inlier count) cannot see drift — a frame
+registers happily onto a drifted sheet — but cross-view sheet disagreement
+can (round-2 verdict, "registered-but-wrong regime").
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acezero_tpu.geometry.rotations import rodrigues_to_matrix as _rodrigues
+from acezero_tpu.utils.precision import f32_matmul
+
+_logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class LoopCloseConfig:
+    neighbors: int = 6  # k-NN frame pairs per confident frame (directed)
+    sample_step: int = 2  # cell subsample for source points (P = h*w/step^2)
+    icp_iterations: int = 4  # robust-refit rounds per match round
+    match_rounds: int = 2  # feature-matching association rounds
+    match_min_sim: float = 0.5  # cosine floor for a usable match
+    match_min_margin: float = 0.03  # best-vs-second margin (2nd outside excl.)
+    match_exclude_cells: int = 2  # neighborhood excluded from the 2nd-best
+    match_gate_cells: float = 8.0  # round-2 gate radius around projection
+    polish_iterations: int = 3  # final joint matched+point-to-plane GN steps
+    plane_win: int = 5  # PCA window (cells) for target sheet normals
+    plane_ratio: float = 10.0  # min mid/smallest eigenvalue ratio for planarity
+    graph_iterations: int = 4  # robust reweighting rounds of the graph solve
+    info_condition_cap: float = 100.0  # per-edge information eigenvalue cap
+    rms_gate: float = 3.0  # drop edges with rms > gate * median rms
+    cycle_gate: float = 4.0  # drop edge pairs with fwd∘rev error > gate * median
+    min_pair_points: int = 64  # drop pairs with fewer robust inliers
+    min_pair_overlap: float = 0.2  # mutual view-overlap floor for graph edges
+    feature_dim: int = 96  # random-projection dim for matching features
+    sigma_floor_rel: float = 2e-3  # robust-kernel floor, fraction of scene diagonal
+    own_reproj_px: float = 20.0  # own-frame reprojection gate for source points
+    depth_min: float = 0.1  # reference depth validity band (ace_trainer.py:558)
+    depth_max: float = 1000.0
+    pair_chunk: int = 64  # pairs per device program (memory bound)
+
+
+# --------------------------------------------------------------------- JAX
+
+def _masked_median(r: jax.Array, valid: jax.Array) -> jax.Array:
+    """Median of r over valid entries (fixed-shape: sort with invalid=+inf)."""
+    big = jnp.where(valid, r, jnp.inf)
+    order = jnp.sort(big)
+    n_valid = jnp.sum(valid)
+    idx = jnp.clip(n_valid // 2, 0, r.shape[0] - 1)
+    med = order[idx]
+    return jnp.where(n_valid > 0, med, 0.0)
+
+
+def _sheet_normals(X, V, cam_c, win: int = 5, ratio: float = 10.0):
+    """Per-cell normals of a coordinate-map sheet via windowed PCA.
+
+    Finite-difference normals amplify prediction noise (neighbor deltas at
+    cell spacing); a win x win local plane fit averages it down. Returns
+    (normals (h, w, 3) oriented toward the camera, plane_ok (h, w) bool —
+    enough valid support and a genuinely planar neighborhood: the mid
+    eigenvalue must dominate the smallest by `ratio`)."""
+    Vf = V.astype(jnp.float32)
+    shape2 = X.shape[:2]
+
+    def box(a):
+        return jax.lax.reduce_window(
+            a, 0.0, jax.lax.add, (win, win) + (1,) * (a.ndim - 2),
+            (1,) * a.ndim, "SAME",
+        )
+
+    N = box(Vf[..., None])[..., 0]
+    S1 = box(X * Vf[..., None])
+    outer = (X[..., :, None] * X[..., None, :]) * Vf[..., None, None]
+    S2 = box(outer.reshape(*shape2, 9)).reshape(*shape2, 3, 3)
+    Nc = jnp.maximum(N, 1.0)
+    mu = S1 / Nc[..., None]
+    cov = S2 / Nc[..., None, None] - mu[..., :, None] * mu[..., None, :]
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    n = evecs[..., :, 0]
+    flip = jnp.sum(n * (cam_c - mu), -1) < 0
+    n = jnp.where(flip[..., None], -n, n)
+    ok = (
+        V
+        & (N >= 0.6 * win * win)
+        & (evals[..., 1] > ratio * jnp.maximum(evals[..., 0], 1e-12))
+    )
+    return n, ok
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+@f32_matmul
+def pairwise_sim3(
+    src_pts,  # (E, P, 3) world points of source frames (subsampled cells)
+    src_feat,  # (E, P, F) L2-normalized matching features of source cells
+    src_valid,  # (E, P) bool
+    tgt_maps,  # (E, h, w, 3) full coordinate maps of target frames
+    tgt_feat,  # (E, h, w, F) L2-normalized features of target cells
+    tgt_valid,  # (E, h, w) bool
+    tgt_w2c,  # (E, 4, 4) current world-to-camera of target frames
+    tgt_focal,  # (E,) canvas-pixel focal
+    ppx,  # scalar canvas principal point x
+    ppy,  # scalar
+    sigma_floor,  # scalar robust-kernel floor (world units)
+    cfg: LoopCloseConfig,
+    subsample: int = 8,
+):
+    """Fit M_ij per pair such that  tgt_sheet ≈ M_ij(src_sheet)  (Sim(3)).
+
+    Pure geometric alignment of two sheets is ambiguous on man-made scenes:
+    a box world maps onto itself under many Sim(3)s, so ray-association ICP
+    confidently converges into the nearest zero-residual basin — which for
+    drift-scale offsets is frequently the wrong one (measured: exact
+    synthetic sheets, rms -> 0 at 0.12 world-unit translation error). The
+    resolving signal is appearance: feature correspondence pins the
+    tangential directions geometry cannot.
+
+    Stages, all fixed-shape and vmapped over pairs:
+      1. dense feature matching — full (P, h*w) cosine-similarity matmul
+         (MXU shape), argmax with a spatially-separated second-best margin
+         test; round 2 gates candidates around the current estimate's
+         projection;
+      2. per match round, `icp_iterations` robust truncated-GN refits on
+         the FIXED matched 3D-3D pairs (unique minimum — matching breaks
+         the sliding null space);
+      3. `polish_iterations` of ray-association GN with perspective-correct
+         sheet sampling (sub-cell accuracy near the solution; the truncated
+         eigensolve keeps locally-degenerate directions frozen).
+
+    Returns dict of per-pair: scale (E,), R (E, 3, 3), t (E, 3),
+    n_inliers (E,), rms (E,), and H (E, 7, 7) — the information matrix of
+    the matched fit in the left Sim(3) tangent (rot, trans, log-scale),
+    which tells the pose graph WHICH directions this edge measured.
+    """
+    h, w = tgt_maps.shape[1:3]
+
+    def one_pair(Xi, Fi, Vi, Xj_map, Fj_map, Vj_map, w2c, f):
+        Rw, tw = w2c[:3, :3], w2c[:3, 3]
+        cam_c = -(Rw.T @ tw)
+        nrm_map, plane_ok_map = _sheet_normals(
+            Xj_map, Vj_map, cam_c, cfg.plane_win, cfg.plane_ratio
+        )
+        Xj_flat = Xj_map.reshape(-1, 3)
+        Fj_flat = Fj_map.reshape(-1, Fj_map.shape[-1])
+        Vj_flat = Vj_map.reshape(-1)
+        cell_i = (jnp.arange(h * w) // w).astype(jnp.float32)
+        cell_j = (jnp.arange(h * w) % w).astype(jnp.float32)
+
+        def project_cells(s, R, t):
+            """Continuous target-cell coordinates of transformed source."""
+            Y = s * (Xi @ R.T) + t
+            pc = Y @ Rw.T + tw
+            z = pc[:, 2]
+            zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+            u = f * pc[:, 0] / zs + ppx
+            v = f * pc[:, 1] / zs + ppy
+            gi = (v - subsample / 2) / subsample
+            gj = (u - subsample / 2) / subsample
+            return gi, gj, z
+
+        def sample_sheet(gi, gj):
+            """Perspective-correct sample of the target sheet at continuous
+            cell coords: interpolate the support cells' INVERSE camera depth
+            (affine in pixel coords on a plane — bilinear on raw 3D points
+            bows planar sheets by ~cm per cell, a bias the Sim(3) fit
+            happily absorbs as a wrong transform) and back-project through
+            the continuous query pixel. Returns (points, support_valid)."""
+            u = gj * subsample + subsample / 2
+            v = gi * subsample + subsample / 2
+            i0 = jnp.floor(gi).astype(jnp.int32)
+            j0 = jnp.floor(gj).astype(jnp.int32)
+            ai = gi - i0
+            aj = gj - j0
+            i0c = jnp.clip(i0, 0, h - 1)
+            j0c = jnp.clip(j0, 0, w - 1)
+            i1c = jnp.clip(i0 + 1, 0, h - 1)
+            j1c = jnp.clip(j0 + 1, 0, w - 1)
+            X00, X01 = Xj_map[i0c, j0c], Xj_map[i0c, j1c]
+            X10, X11 = Xj_map[i1c, j0c], Xj_map[i1c, j1c]
+            zq = lambda X: X @ Rw[2] + tw[2]
+            z00, z01, z10, z11 = zq(X00), zq(X01), zq(X10), zq(X11)
+            izc = lambda zc: 1.0 / jnp.maximum(zc, 1e-6)
+            iz = (
+                (1 - ai) * ((1 - aj) * izc(z00) + aj * izc(z01))
+                + ai * ((1 - aj) * izc(z10) + aj * izc(z11))
+            )
+            z_s = 1.0 / jnp.maximum(iz, 1e-9)
+            x_cam = jnp.stack(
+                [(u - ppx) / f * z_s, (v - ppy) / f * z_s, z_s], axis=-1
+            )
+            Xs = (x_cam - tw) @ Rw
+            # all four support cells must be valid and in front of the
+            # camera (depth edges corrupt the interpolation; robust weights
+            # catch the rest)
+            vj = (
+                Vj_map[i0c, j0c] & Vj_map[i0c, j1c]
+                & Vj_map[i1c, j0c] & Vj_map[i1c, j1c]
+                & (z00 > cfg.depth_min) & (z01 > cfg.depth_min)
+                & (z10 > cfg.depth_min) & (z11 > cfg.depth_min)
+            )
+            return Xs, vj
+
+        def match(s, R, t, gate_cells):
+            """Best-feature correspondence with sub-cell peak refinement,
+            optionally gated around the current estimate's projection.
+
+            Nearest-cell matches carry half-cell quantization error that is
+            a deterministic sawtooth field over the surface — it does NOT
+            average out, it projects onto the Sim(3) sliding modes as a
+            systematic wrong transform (measured: 0.05+ world units on
+            exact sheets). Parabolic interpolation of the similarity peak +
+            perspective-correct sheet sampling removes it to first order."""
+            sims = Fi @ Fj_flat.T  # (P, h*w)
+            sims = jnp.where(Vj_flat[None, :], sims, -2.0)
+            gi_p, gj_p, _ = project_cells(s, R, t)
+            d2 = (cell_i[None, :] - gi_p[:, None]) ** 2 + (
+                cell_j[None, :] - gj_p[:, None]
+            ) ** 2
+            sims = jnp.where(d2 <= gate_cells**2, sims, -2.0)
+            best = jnp.argmax(sims, axis=-1)
+            sim1 = jnp.take_along_axis(sims, best[:, None], axis=-1)[:, 0]
+            bi, bj = cell_i[best], cell_j[best]
+            near = (jnp.abs(cell_i[None, :] - bi[:, None]) <= cfg.match_exclude_cells) & (
+                jnp.abs(cell_j[None, :] - bj[:, None]) <= cfg.match_exclude_cells
+            )
+            sim2 = jnp.max(jnp.where(near, -2.0, sims), axis=-1)
+            ok = (
+                Vi
+                & (sim1 > cfg.match_min_sim)
+                & (sim1 - sim2 > cfg.match_min_margin)
+            )
+            # sub-cell peak: 1-D parabola per axis through the 3 sims
+            bi_i = best // w
+            bj_i = best % w
+            s_at = lambda di, dj: jnp.take_along_axis(
+                sims,
+                (jnp.clip(bi_i + di, 0, h - 1) * w + jnp.clip(bj_i + dj, 0, w - 1))[
+                    :, None
+                ],
+                axis=-1,
+            )[:, 0]
+            def peak_offset(sm, s0, sp):
+                den = sm - 2.0 * s0 + sp
+                return jnp.where(
+                    den < -1e-9, jnp.clip(0.5 * (sm - sp) / den, -0.5, 0.5), 0.0
+                )
+            oi = peak_offset(s_at(-1, 0), sim1, s_at(1, 0))
+            oj = peak_offset(s_at(0, -1), sim1, s_at(0, 1))
+            Xs, vj = sample_sheet(bi + oi, bj + oj)
+            return Xs, ok & vj
+
+        def gn_step(s, R, t, Xj, ok):
+            """One robust truncated-GN step on the Sim(3) left tangent
+            (dw, dv, dsig): Y' = e^dsig exp(dw) Y + dv, against FIXED
+            correspondences Xj."""
+            Y = s * (Xi @ R.T) + t
+            res = Xj - Y  # (P, 3)
+            r = jnp.linalg.norm(res, axis=-1)
+            sigma = jnp.maximum(1.4826 * _masked_median(r, ok), sigma_floor)
+            wgt = ok * 1.0 / (1.0 + (r / (2.0 * sigma)) ** 2)
+            # J_p = dr/d(dw, dv, dsig) = [ [Y]x , -I , -Y ]  (3 x 7)
+            # (dY/dw = dw x Y = -[Y]x dw, and r = Xj - Y)
+            Z = jnp.zeros_like(Y[:, 0])
+            Yx = jnp.stack(
+                [
+                    jnp.stack([Z, -Y[:, 2], Y[:, 1]], -1),
+                    jnp.stack([Y[:, 2], Z, -Y[:, 0]], -1),
+                    jnp.stack([-Y[:, 1], Y[:, 0], Z], -1),
+                ],
+                -2,
+            )  # (P, 3, 3) rows of [Y]x
+            J = jnp.concatenate(
+                [Yx, -jnp.broadcast_to(jnp.eye(3), Yx.shape), -Y[:, :, None]], axis=-1
+            )  # (P, 3, 7)
+            H = jnp.einsum("p,pai,paj->ij", wgt, J, J)
+            g = -jnp.einsum("p,pai,pa->i", wgt, J, res)
+            # truncated eigensolve: directions with < eps of the dominant
+            # curvature get NO update (they carry no signal, only noise)
+            evals, evecs = jnp.linalg.eigh(H)
+            emax = jnp.maximum(evals[-1], 1e-12)
+            inv = jnp.where(evals > 1e-4 * emax, 1.0 / evals, 0.0)
+            delta = (evecs * inv) @ (evecs.T @ g)
+            n_ok = jnp.sum(ok)
+            delta = jnp.where(n_ok >= 4, delta, jnp.zeros(7))
+            dw, dv, dsig = delta[:3], delta[3:6], delta[6]
+            dR = _rodrigues(dw)
+            s_out = jnp.clip(jnp.exp(dsig) * s, 0.5, 2.0)
+            R_out = dR @ R
+            t_out = jnp.exp(dsig) * (dR @ t) + dv
+            return (s_out, R_out, t_out), (wgt, r, H)
+
+        def gn_joint(s, R, t, Xj_m, ok_m):
+            """One robust GN step on two residual sets at once:
+
+            - matched 3D-3D point-to-point (FIXED correspondences): accuracy
+              limited by sub-cell matching quantization (~cm), but it is the
+              only set with curvature along the sheet's tangential modes;
+            - ray-associated point-to-PLANE: on (locally) planar sheets the
+              residual n.(X_assoc - Y) measures the true plane distance
+              EXACTLY regardless of tangential association error — the
+              classic ICP sliding failure does not contaminate it.
+
+            Each set is information-weighted by its own robust sigma
+            (w = rho'/sigma^2), so plane-normal directions are dominated by
+            the precise point-to-plane terms and tangential directions by
+            the matches; the summed H is a faithful per-edge information
+            matrix for the pose graph."""
+            Y = s * (Xi @ R.T) + t
+            res_m = Xj_m - Y
+            r_m = jnp.linalg.norm(res_m, axis=-1)
+            sig_m = jnp.maximum(1.4826 * _masked_median(r_m, ok_m), sigma_floor)
+            w_m = ok_m * (1.0 / (1.0 + (r_m / (2.0 * sig_m)) ** 2)) / sig_m**2
+            # point-to-plane: associate by projection, normals at the
+            # nearest target cell
+            gi, gj, z = project_cells(s, R, t)
+            inb = (
+                (z > cfg.depth_min)
+                & (gi >= 0) & (gi <= h - 1) & (gj >= 0) & (gj <= w - 1)
+            )
+            Xs, vj = sample_sheet(gi, gj)
+            ic = jnp.clip(jnp.round(gi).astype(jnp.int32), 0, h - 1)
+            jc = jnp.clip(jnp.round(gj).astype(jnp.int32), 0, w - 1)
+            nrm = nrm_map[ic, jc]
+            ok_p = Vi & inb & vj & plane_ok_map[ic, jc]
+            r_p = jnp.sum(nrm * (Xs - Y), axis=-1)
+            sig_p = jnp.maximum(
+                1.4826 * _masked_median(jnp.abs(r_p), ok_p), 0.1 * sigma_floor
+            )
+            w_p = ok_p * (1.0 / (1.0 + (r_p / (2.0 * sig_p)) ** 2)) / sig_p**2
+            Z = jnp.zeros_like(Y[:, 0])
+            Yx = jnp.stack(
+                [
+                    jnp.stack([Z, -Y[:, 2], Y[:, 1]], -1),
+                    jnp.stack([Y[:, 2], Z, -Y[:, 0]], -1),
+                    jnp.stack([-Y[:, 1], Y[:, 0], Z], -1),
+                ],
+                -2,
+            )
+            J = jnp.concatenate(
+                [Yx, -jnp.broadcast_to(jnp.eye(3), Yx.shape), -Y[:, :, None]],
+                axis=-1,
+            )  # (P, 3, 7) = d(res)/d(dw, dv, dsig)
+            Jp = jnp.einsum("pa,pai->pi", nrm, J)  # (P, 7)
+            H = jnp.einsum("p,pai,paj->ij", w_m, J, J) + jnp.einsum(
+                "p,pi,pj->ij", w_p, Jp, Jp
+            )
+            g = -jnp.einsum("p,pai,pa->i", w_m, J, res_m) - jnp.einsum(
+                "p,pi,p->i", w_p, Jp, r_p
+            )
+            evals, evecs = jnp.linalg.eigh(H)
+            emax = jnp.maximum(evals[-1], 1e-12)
+            inv = jnp.where(evals > 1e-4 * emax, 1.0 / evals, 0.0)
+            delta = (evecs * inv) @ (evecs.T @ g)
+            delta = jnp.where(jnp.sum(ok_m) >= 4, delta, jnp.zeros(7))
+            dw, dv, dsig = delta[:3], delta[3:6], delta[6]
+            dR = _rodrigues(dw)
+            s_out = jnp.clip(jnp.exp(dsig) * s, 0.5, 2.0)
+            R_out = dR @ R
+            t_out = jnp.exp(dsig) * (dR @ t) + dv
+            return (s_out, R_out, t_out), (w_m * sig_m**2, r_m, H)
+
+        s, R, t = jnp.asarray(1.0), jnp.eye(3), jnp.zeros(3)
+        m_ok = Vi
+        # ---- feature-matching rounds (round 1 ungated, later gated) ----
+        for round_idx in range(cfg.match_rounds):
+            gate = jnp.asarray(
+                1e9 if round_idx == 0 else cfg.match_gate_cells, jnp.float32
+            )
+            Xj_m, m_ok = match(s, R, t, gate)
+
+            def fit_body(carry, _, Xj_m=Xj_m, m_ok=m_ok):
+                s, R, t = carry
+                (s, R, t), aux = gn_step(s, R, t, Xj_m, m_ok)
+                return (s, R, t), aux
+
+            (s, R, t), _ = jax.lax.scan(
+                fit_body, (s, R, t), None, length=cfg.icp_iterations
+            )
+
+        # ---- joint polish: matched (fixed) + point-to-plane (ray) ----
+        Xj_m, m_ok = match(s, R, t, jnp.asarray(cfg.match_gate_cells, jnp.float32))
+
+        def polish_body(carry, _, Xj_m=Xj_m, m_ok=m_ok):
+            s, R, t = carry
+            (s, R, t), aux = gn_joint(s, R, t, Xj_m, m_ok)
+            return (s, R, t), None
+
+        if cfg.polish_iterations > 0:
+            (s, R, t), _ = jax.lax.scan(
+                polish_body, (s, R, t), None, length=cfg.polish_iterations
+            )
+
+        # ---- final statistics + joint information matrix ----
+        _, (wgt, r, H) = gn_joint(s, R, t, Xj_m, m_ok)
+        # inliers: robust weight above half (matched residual < 2*sigma)
+        n_in = jnp.sum((wgt > 0.5) & m_ok)
+        wsum = jnp.maximum(jnp.sum(wgt), 1e-9)
+        rms = jnp.sqrt(jnp.sum(wgt * r * r) / wsum)
+        # edge information: per-inlier joint information (1/length^2 units;
+        # the 1/sigma^2 set weighting shapes which directions this edge
+        # measured precisely); edge count is carried by the graph weights
+        return {
+            "scale": s, "R": R, "t": t, "n_inliers": n_in, "rms": rms,
+            "H": H / jnp.maximum(n_in, 1).astype(jnp.float32),
+        }
+
+    return jax.vmap(one_pair)(
+        src_pts, src_feat, src_valid, tgt_maps, tgt_feat, tgt_valid,
+        tgt_w2c, tgt_focal,
+    )
+
+
+@partial(jax.jit, static_argnames=("subsample",))
+@f32_matmul
+def map_validity(
+    coords,  # (N, h, w, 3)
+    mask_lr,  # (N, h, w) canvas-content mask
+    poses_w2c,  # (N, 4, 4)
+    focals,  # (N,)
+    ppx,
+    ppy,
+    grid,  # (h, w, 2) full-res pixel centers of cells
+    depth_min: float,
+    depth_max: float,
+    own_reproj_px: float,
+    subsample: int = 8,
+):
+    """Validity of each predicted cell: canvas content, depth in band, and
+    own-frame reprojection within `own_reproj_px` (filters network junk the
+    same way the reference masks training pixels, ace_trainer.py:558-576)."""
+
+    def one(X, m, w2c, f):
+        pc = jnp.einsum("hwc,dc->hwd", X, w2c[:3, :3]) + w2c[:3, 3]
+        z = pc[..., 2]
+        zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        u = f * pc[..., 0] / zs + ppx
+        v = f * pc[..., 1] / zs + ppy
+        err = jnp.hypot(u - grid[..., 0], v - grid[..., 1])
+        return m & (z > depth_min) & (z < depth_max) & (err < own_reproj_px)
+
+    return jax.vmap(one)(coords, mask_lr, poses_w2c, focals)
+
+
+@partial(jax.jit, static_argnames=("head_cfg", "feature_dim", "subsample"))
+def _coords_feats_chunk_from_root(
+    encoder_params,
+    head_params,
+    head_cfg,
+    canvases_full,  # (N, H, W) device-resident root canvases
+    sizes_full,  # (N, 2)
+    idx,  # (B,) indices into the root
+    feature_dim: int = 96,
+    subsample: int = 8,
+):
+    """Coordinate maps + matching features for a chunk of frames.
+
+    Like registration.driver._coords_chunk_from_root, but also returns the
+    encoder's cell features compressed by a fixed random projection
+    (Johnson-Lindenstrauss: cosine structure survives 512 -> ~96 dims) and
+    L2-normalized for cosine matching."""
+    from acezero_tpu.models.encoder import encoder_apply
+    from acezero_tpu.models.head import head_apply_image
+    from acezero_tpu.registration.driver import _canvas_prologue
+
+    images, mask_lr, _, _, _ = _canvas_prologue(
+        canvases_full[idx], sizes_full[idx], subsample
+    )
+    feats = encoder_apply(encoder_params, images)  # (B, h, w, C)
+    coords = head_apply_image(head_params, head_cfg, feats)
+    C = feats.shape[-1]
+    proj = jax.random.normal(
+        jax.random.PRNGKey(7), (C, feature_dim), jnp.float32
+    ) / jnp.sqrt(C)
+    fp = feats.astype(jnp.float32) @ proj
+    fp = fp / jnp.maximum(jnp.linalg.norm(fp, axis=-1, keepdims=True), 1e-8)
+    return coords, mask_lr, fp
+
+
+# ----------------------------------------------------------------- host ops
+
+def _sim3_mul(a, b):
+    """(s, R, t) composition a ∘ b, action x -> s R x + t."""
+    sa, Ra, ta = a
+    sb, Rb, tb = b
+    return sa * sb, Ra @ Rb, sa * Ra @ tb + ta
+
+
+def _sim3_inv(a):
+    sa, Ra, ta = a
+    return 1.0 / sa, Ra.T, -(1.0 / sa) * (Ra.T @ ta)
+
+
+def _rotlog(R: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_matrix(R).as_rotvec()
+
+
+def _rotexp(w: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_rotvec(w).as_matrix()
+
+
+def solve_pose_graph(
+    n: int,
+    pairs: np.ndarray,  # (E, 2) int — constraint S_i = S_j ∘ M_ij
+    m_scale: np.ndarray,  # (E,)
+    m_R: np.ndarray,  # (E, 3, 3)
+    m_t: np.ndarray,  # (E, 3)
+    weights: np.ndarray,  # (E,) scalar edge weights
+    cfg: LoopCloseConfig = LoopCloseConfig(),
+    infos: np.ndarray | None = None,  # (E, 7, 7) per-edge information
+):
+    """Per-frame Sim(3) corrections from pairwise sheet-misalignment edges.
+
+    Information-form Gauss-Newton: each edge contributes a 7x7 information
+    block Λ_e (tangent order: rotation(3), translation(3), log-scale(1))
+    from the pairwise GN fit. This matters: a single sheet-to-sheet fit on
+    a box-world scene is rank-deficient (sliding along visible planes is
+    free), so edges must tell the graph WHICH directions they measured;
+    other edges with different wall orientations fill the gaps. With
+    `infos=None` edges are treated isotropic (exact-measurement tests).
+
+    Linearization (left increments x_k on S_k, re-linearized each outer
+    round): log(S_i'^{-1} S_j' M) ≈ f_e + x_j - x_i with f_e = log(E_e).
+    One (7n x 7n) block-Laplacian solve per round; robust Geman-McClure
+    reweighting by Mahalanobis residual between rounds. Gauge: S_0 ≈
+    identity (anchored).
+
+    Returns (scales (n,), R (n, 3, 3), t (n, 3), diag dict).
+    """
+    E = len(pairs)
+    if E == 0 or n == 0:
+        return np.ones(n), np.tile(np.eye(3), (n, 1, 1)), np.zeros((n, 3)), {
+            "edges": 0, "residual_rot_deg": 0.0, "residual_t": 0.0,
+        }
+    w_base = weights.astype(np.float64).copy()
+    if infos is None:
+        lam = np.broadcast_to(np.eye(7), (E, 7, 7)).copy()
+    else:
+        lam = infos.astype(np.float64).copy()
+        # guard degenerate/ill-scaled blocks: symmetrize, then cap the
+        # eigenvalue spread. Raw joint-fit informations span ~1e7 between
+        # mm-precise point-to-plane normals and cm-precise matched
+        # tangentials — used verbatim, the graph would IGNORE tangential
+        # measurements that are in fact good (measured: 2.3 cm median error
+        # on exact inputs vs 0.07 cm isotropic). A bounded condition number
+        # keeps the directional preference without crushing any direction;
+        # unit-trace normalization leaves edge count/precision to `weights`.
+        lam = 0.5 * (lam + np.transpose(lam, (0, 2, 1)))
+        evals, evecs = np.linalg.eigh(lam)
+        emax = np.maximum(evals[:, -1:], 1e-12)
+        evals = np.clip(evals, emax / cfg.info_condition_cap, None)
+        lam = np.einsum("eab,eb,ecb->eac", evecs, evals, evecs)
+        lam *= (7.0 / np.trace(lam, axis1=1, axis2=2))[:, None, None]
+    i, j = pairs[:, 0], pairs[:, 1]
+
+    s = np.ones(n)
+    R = np.tile(np.eye(3), (n, 1, 1))
+    t = np.zeros((n, 3))
+    w_rob = np.ones(E)
+    diag = {}
+
+    for outer in range(cfg.graph_iterations):
+        # ---- edge residuals E_e = S_i^{-1} ∘ S_j ∘ M_ij (vectorized)
+        s_jm = s[j] * m_scale
+        R_jm = np.einsum("eab,ebc->eac", R[j], m_R)
+        t_jm = s[j, None] * np.einsum("eab,eb->ea", R[j], m_t) + t[j]
+        R_err = np.einsum("eba,ebc->eac", R[i], R_jm)  # R_i^T R_jm
+        t_err = np.einsum("eba,eb->ea", R[i], t_jm - t[i]) / s[i, None]
+        s_err = s_jm / s[i]
+        f = np.concatenate(
+            [_rotlog(R_err), t_err, np.log(s_err)[:, None]], axis=1
+        )  # (E, 7)
+
+        # ---- robust reweighting by Mahalanobis residual (skipped on the
+        # first round: f starts at the raw measurement, which is signal)
+        if outer > 0:
+            z2 = np.einsum("ea,eab,eb->e", f, lam, f)
+            z = np.sqrt(np.maximum(z2, 0.0))
+            sig_z = max(1.4826 * np.median(z), 1e-8)
+            u = z / (3.0 * sig_z)
+            # Geman-McClure with a hard cut: a wrong edge at 10x sigma must
+            # not retain influence
+            w_rob = np.where(u > 2.5, 0.0, 1.0 / (1.0 + u * u))
+
+        w = (w_base * w_rob)[:, None, None] * lam  # (E, 7, 7)
+
+        # ---- assemble the block Laplacian:  x_i - x_j = f_e
+        A = np.zeros((n, 7, n, 7))
+        b = np.zeros((n, 7))
+        np.add.at(A, (i, slice(None), i, slice(None)), w)
+        np.add.at(A, (j, slice(None), j, slice(None)), w)
+        np.add.at(A, (i, slice(None), j, slice(None)), -w)
+        np.add.at(A, (j, slice(None), i, slice(None)), -w)
+        wf = np.einsum("eab,eb->ea", w, f)
+        np.add.at(b, i, wf)
+        np.add.at(b, j, -wf)
+        A = A.reshape(7 * n, 7 * n)
+        b = b.reshape(7 * n)
+        anchor = 10.0 * max(float(np.trace(A)) / max(n, 1), 1.0)
+        A[:7, :7] += anchor * np.eye(7)
+        A += 1e-9 * np.trace(A) / (7 * n) * np.eye(7 * n)
+        x = np.linalg.solve(A, b).reshape(n, 7)
+
+        # ---- apply left increments S_k <- exp(x_k) ∘ S_k
+        dR = _rotexp(x[:, :3])
+        s = np.exp(x[:, 6]) * s
+        t = np.exp(x[:, 6, None]) * np.einsum("nab,nb->na", dR, t) + x[:, 3:6]
+        R = np.einsum("nab,nbc->nac", dR, R)
+
+        rr = np.degrees(np.linalg.norm(f[:, :3], axis=-1))
+        rt = np.linalg.norm(f[:, 3:6], axis=-1)
+        diag = {
+            "edges": E,
+            "residual_rot_deg": float(np.median(rr)),
+            "residual_t": float(np.median(rt)),
+            "outer": outer,
+        }
+
+    # re-anchor the gauge exactly at frame 0
+    G = _sim3_inv((s[0], R[0], t[0]))
+    for k in range(n):
+        s[k], R[k], t[k] = _sim3_mul(G, (s[k], R[k], t[k]))
+    return s, R, t, diag
+
+
+@jax.jit
+@f32_matmul
+def view_overlap_matrix(
+    pts,  # (M, P, 3) subsampled world points per frame
+    valid,  # (M, P) bool
+    w2c,  # (M, 4, 4)
+    focal,  # (M,)
+    ppx,
+    ppy,
+    h_img,  # canvas height (pixels)
+    w_img,
+    depth_min,
+):
+    """O[i, j] = fraction of frame i's valid points visible in camera j.
+
+    Camera-center distance is NOT a usable overlap proxy — convergent
+    captures (cameras near the scene center looking outward/across) have
+    every center within a small ball while view directions, and therefore
+    co-visibility, vary wildly. Measuring overlap directly by projection is
+    one (M, M, P) vmapped program: trivial at pose-graph sizes."""
+
+    def into_cam(pts_i, valid_i, w2c_j, f_j):
+        pc = pts_i @ w2c_j[:3, :3].T + w2c_j[:3, 3]
+        z = pc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        u = f_j * pc[:, 0] / zs + ppx
+        v = f_j * pc[:, 1] / zs + ppy
+        inb = (z > depth_min) & (u >= 0) & (u < w_img) & (v >= 0) & (v < h_img)
+        return jnp.sum(inb & valid_i) / jnp.maximum(jnp.sum(valid_i), 1)
+
+    def row(pts_i, valid_i):
+        return jax.vmap(partial(into_cam, pts_i, valid_i))(w2c, focal)
+
+    return jax.vmap(row)(pts, valid)
+
+
+def select_pairs(
+    overlap: np.ndarray,  # (M, M) view-overlap fractions (view_overlap_matrix)
+    k: int,
+    min_overlap: float = 0.2,
+) -> np.ndarray:
+    """Directed top-k co-visible pairs per frame.
+
+    Pair score is the *mutual* overlap min(O_ij, O_ji): the ICP association
+    needs source points visible in the target AND a target sheet that
+    actually covers them."""
+    m = len(overlap)
+    k = min(k, m - 1)
+    if k <= 0:
+        return np.zeros((0, 2), np.int64)
+    mutual = np.minimum(overlap, overlap.T).astype(np.float64)
+    np.fill_diagonal(mutual, -1.0)
+    nn = np.argsort(-mutual, axis=1)[:, :k]
+    src = np.repeat(np.arange(m), k)
+    pairs = np.stack([src, nn.reshape(-1)], axis=1)
+    score = mutual[pairs[:, 0], pairs[:, 1]]
+    return pairs[score >= min_overlap]
+
+
+def loop_close_core(
+    coords,  # (n, h, w, 3) predicted coordinate maps, scene frame order
+    feats,  # (n, h, w, F) L2-normalized per-cell matching features
+    mask_lr,  # (n, h, w) canvas-content mask
+    w2c_scene: np.ndarray,  # (n, 4, 4) current poses, scene order
+    conf_scene: np.ndarray,  # (n,)
+    focals_canvas: np.ndarray,  # (n,)
+    canvas_hw: tuple[int, int],
+    conf_threshold: float,
+    cfg: LoopCloseConfig = LoopCloseConfig(),
+):
+    """Estimate per-frame Sim(3) corrections from the coordinate maps.
+
+    Returns (s_all (n,), R_all (n,3,3), t_all (n,3), diag) — identity for
+    every frame when the stage decides to skip (diag carries the reason).
+    """
+    from acezero_tpu.geometry.projection import get_pixel_grid
+
+    n = len(w2c_scene)
+    H, W = canvas_hw
+    sub = 8
+    grid = get_pixel_grid(H // sub, W // sub, sub)
+    s_id = np.ones(n)
+    R_id = np.tile(np.eye(3), (n, 1, 1))
+    t_id = np.zeros((n, 3))
+
+    coords = jnp.asarray(coords)
+    mask_lr = jnp.asarray(mask_lr)
+    valid = map_validity(
+        coords, mask_lr, jnp.asarray(w2c_scene, jnp.float32),
+        jnp.asarray(focals_canvas, jnp.float32),
+        jnp.asarray(W / 2.0, jnp.float32), jnp.asarray(H / 2.0, jnp.float32),
+        grid, cfg.depth_min, cfg.depth_max, cfg.own_reproj_px,
+    )
+
+    # scene scale for the robust floor (5-95% bbox diagonal of valid coords)
+    cv = np.asarray(jax.device_get(coords))
+    vv = np.asarray(jax.device_get(valid))
+    pts = cv[vv]
+    if len(pts) < 100:
+        return s_id, R_id, t_id, {"skipped": "no_valid_points"}
+    lo, hi = np.percentile(pts, [5, 95], axis=0)
+    diag_len = float(np.linalg.norm(hi - lo))
+    sigma_floor = cfg.sigma_floor_rel * max(diag_len, 1e-6)
+
+    # graph frames + pairs
+    graph_idx = np.where(conf_scene >= conf_threshold)[0]
+    if len(graph_idx) < 3:
+        return s_id, R_id, t_id, {"skipped": "too_few_frames"}
+    c2w_all = np.linalg.inv(w2c_scene)
+    centers = c2w_all[graph_idx, :3, 3]
+
+    step = cfg.sample_step
+    h, w = coords.shape[1:3]
+    feats = jnp.asarray(feats)
+    src_all = coords[:, ::step, ::step].reshape(n, -1, 3)
+    srcf_all = feats[:, ::step, ::step].reshape(n, -1, feats.shape[-1])
+    srcv_all = valid[:, ::step, ::step].reshape(n, -1)
+
+    # co-visibility graph from measured view overlap (camera-center
+    # proximity is meaningless for convergent captures)
+    ostep = max(1, 4 // step)
+    overlap = np.asarray(
+        view_overlap_matrix(
+            src_all[jnp.asarray(graph_idx)][:, ::ostep],
+            srcv_all[jnp.asarray(graph_idx)][:, ::ostep],
+            jnp.asarray(w2c_scene[graph_idx], jnp.float32),
+            jnp.asarray(focals_canvas[graph_idx], jnp.float32),
+            jnp.asarray(W / 2.0, jnp.float32),
+            jnp.asarray(H / 2.0, jnp.float32),
+            jnp.asarray(float(H), jnp.float32),
+            jnp.asarray(float(W), jnp.float32),
+            jnp.asarray(cfg.depth_min, jnp.float32),
+        )
+    )
+    pairs_local = select_pairs(overlap, cfg.neighbors, cfg.min_pair_overlap)
+    if len(pairs_local) < 2:
+        return s_id, R_id, t_id, {"skipped": "too_few_covisible_pairs"}
+    pairs = graph_idx[pairs_local]  # scene-frame indices (E, 2)
+    E = len(pairs)
+    out = {"scale": [], "R": [], "t": [], "n_inliers": [], "rms": [], "H": []}
+    chunk_e = min(cfg.pair_chunk, E)
+    for c0 in range(0, E, chunk_e):
+        pc = pairs[c0 : c0 + chunk_e]
+        pad = chunk_e - len(pc)
+        if pad:
+            pc = np.concatenate([pc, np.repeat(pc[-1:], pad, axis=0)])
+        res = pairwise_sim3(
+            src_all[jnp.asarray(pc[:, 0])],
+            srcf_all[jnp.asarray(pc[:, 0])],
+            srcv_all[jnp.asarray(pc[:, 0])],
+            coords[jnp.asarray(pc[:, 1])],
+            feats[jnp.asarray(pc[:, 1])],
+            valid[jnp.asarray(pc[:, 1])],
+            jnp.asarray(w2c_scene[pc[:, 1]], jnp.float32),
+            jnp.asarray(focals_canvas[pc[:, 1]], jnp.float32),
+            jnp.asarray(W / 2.0, jnp.float32),
+            jnp.asarray(H / 2.0, jnp.float32),
+            jnp.asarray(sigma_floor, jnp.float32),
+            cfg,
+        )
+        res = jax.device_get(res)
+        keep = slice(0, len(pc) - pad)
+        for k in out:
+            out[k].append(np.asarray(res[k])[keep])
+    m_scale = np.concatenate(out["scale"]).astype(np.float64)
+    m_R = np.concatenate(out["R"]).astype(np.float64)
+    m_t = np.concatenate(out["t"]).astype(np.float64)
+    n_in = np.concatenate(out["n_inliers"]).astype(np.float64)
+    rms = np.concatenate(out["rms"]).astype(np.float64)
+    m_H = np.concatenate(out["H"]).astype(np.float64)
+
+    good = n_in >= cfg.min_pair_points
+    # rms gate: a wrong-basin fit (self-similar geometry pulled the ICP to
+    # the wrong zero) shows up as an rms outlier vs its peers
+    if good.any():
+        med_rms = np.median(rms[good])
+        good &= rms <= cfg.rms_gate * max(med_rms, sigma_floor)
+    # forward/backward cycle consistency: when both (i,j) and (j,i) were
+    # measured, M_ij ∘ M_ji must be ~identity; a wrong basin on either side
+    # breaks the cycle. Rotation/scale errors are converted to length via
+    # half the scene diagonal as lever arm.
+    eidx = {(int(i), int(j)): e for e, (i, j) in enumerate(pairs)}
+    cyc = np.full(E, np.nan)
+    for e, (i, j) in enumerate(pairs):
+        e2 = eidx.get((int(j), int(i)))
+        if e2 is None or not (good[e] and good[e2]):
+            continue
+        C = _sim3_mul(
+            (m_scale[e], m_R[e], m_t[e]), (m_scale[e2], m_R[e2], m_t[e2])
+        )
+        cyc[e] = (
+            np.linalg.norm(C[2])
+            + (np.linalg.norm(_rotlog(C[1])) + abs(np.log(C[0]))) * 0.5 * diag_len
+        )
+    has_cyc = np.isfinite(cyc)
+    if has_cyc.any():
+        cyc_lim = cfg.cycle_gate * max(np.median(cyc[has_cyc]), 2.0 * sigma_floor)
+        good &= ~(has_cyc & (cyc > cyc_lim))
+    if good.sum() < 2:
+        return s_id, R_id, t_id, {"skipped": "too_few_pairs"}
+    # graph weights: sqrt of inlier count (temper hub frames; the per-edge
+    # information matrix carries the directional content)
+    weights = np.sqrt(n_in) * good
+
+    # remap to graph-local indices for the solver
+    remap = -np.ones(n, np.int64)
+    remap[graph_idx] = np.arange(len(graph_idx))
+    pairs_g = remap[pairs]
+    s_g, R_g, t_g, gdiag = solve_pose_graph(
+        len(graph_idx), pairs_g[good], m_scale[good], m_R[good], m_t[good],
+        weights[good], cfg, infos=m_H[good],
+    )
+
+    # guard: a frame whose few edges were all wrong can receive a wild
+    # correction (observed: tens of meters on a ~5 m scene). Such frames
+    # inherit the nearest sane frame's correction instead — registration
+    # re-estimates their pose next round anyway.
+    t_mag = np.linalg.norm(t_g, axis=1)
+    r_mag = np.linalg.norm(np.stack([_rotlog(R_g[k]) for k in range(len(R_g))]), axis=1)
+    t_lim = max(10.0 * np.median(t_mag), 0.25 * diag_len)
+    r_lim = max(10.0 * np.median(r_mag), np.radians(30.0))
+    # frames with zero surviving edges are unconstrained (the anchor ridge
+    # parks them at identity = their full drift): inherit a neighbor instead
+    has_edge = np.zeros(len(graph_idx), bool)
+    has_edge[pairs_g[good].ravel()] = True
+    sane = (
+        has_edge
+        & (t_mag <= t_lim) & (r_mag <= r_lim) & (np.abs(np.log(s_g)) <= 0.5)
+    )
+    if not sane.all():
+        if not sane.any():
+            return s_id, R_id, t_id, {"skipped": "all_corrections_insane"}
+        gcent = c2w_all[graph_idx, :3, 3]
+        for k in np.where(~sane)[0]:
+            d = np.linalg.norm(gcent[sane] - gcent[k], axis=-1)
+            src = np.where(sane)[0][np.argmin(d)]
+            s_g[k], R_g[k], t_g[k] = s_g[src], R_g[src], t_g[src]
+        _logger.info("loop closure: clamped %d insane corrections", int((~sane).sum()))
+
+    s_all, R_all, t_all = s_id, R_id, t_id
+    s_all[graph_idx], R_all[graph_idx], t_all[graph_idx] = s_g, R_g, t_g
+    non_graph = np.where(remap < 0)[0]
+    if len(non_graph):
+        d = np.linalg.norm(
+            c2w_all[non_graph, :3, 3][:, None] - centers[None], axis=-1
+        )
+        nearest = graph_idx[np.argmin(d, axis=1)]
+        s_all[non_graph] = s_all[nearest]
+        R_all[non_graph] = R_all[nearest]
+        t_all[non_graph] = t_all[nearest]
+
+    diag = {
+        "edges": int(good.sum()),
+        "median_edge_rms": float(np.median(rms[good])),
+        "median_corr_t": float(np.median(np.linalg.norm(t_g, axis=1))),
+        "median_corr_rot_deg": float(
+            np.median(np.degrees(np.linalg.norm(_rotlog(R_g), axis=1)))
+        ),
+        **{f"graph_{k}": v for k, v in gdiag.items()},
+    }
+    return s_all, R_all, t_all, diag
+
+
+def loop_close_entries(
+    encoder_params,
+    head_params,
+    head_cfg,
+    scene,
+    entries,
+    conf_threshold: float,
+    focal_override_orig: float | None = None,
+    cfg: LoopCloseConfig = LoopCloseConfig(),
+    max_frames: int = 256,
+):
+    """Estimate and apply Sim(3) loop-closure corrections to pose entries.
+
+    Uses the current head's predicted coordinate maps; at most `max_frames`
+    confident frames (evenly strided over scene order — memory: full-res
+    feature maps are ~1 MB/frame) form the pose graph; all frames get
+    corrected (non-graph frames inherit the nearest graph frame's
+    correction — their poses are re-estimated by the following registration
+    round anyway).
+
+    Returns (corrected entries, diagnostics).
+    """
+    from acezero_tpu.io.pose_files import PoseFileEntry
+
+    n = len(scene)
+    by_file = {f: k for k, f in enumerate(scene.rgb_files)}
+    order = np.asarray([by_file[e.rgb_file] for e in entries])
+    H, W = scene.images.canvas_hw
+
+    if focal_override_orig is not None:
+        focals_canvas = np.asarray(
+            focal_override_orig * scene.images.scale_factors, np.float32
+        )
+    else:
+        focals_canvas = np.asarray(scene.focals_canvas, np.float32)
+
+    # poses in scene order
+    w2c = np.stack([e.pose_w2c for e in entries]).astype(np.float64)
+    conf = np.asarray([e.confidence for e in entries])
+    w2c_scene = np.empty_like(w2c)
+    conf_scene = np.empty_like(conf)
+    w2c_scene[order] = w2c
+    conf_scene[order] = conf
+
+    # graph frame subset: confident frames, evenly strided over scene order
+    cand = np.where(conf_scene >= conf_threshold)[0]
+    if len(cand) < 3:
+        return entries, {"skipped": "too_few_frames"}
+    if len(cand) > max_frames:
+        sub = cand[np.round(np.linspace(0, len(cand) - 1, max_frames)).astype(int)]
+    else:
+        sub = cand
+    ns = len(sub)
+
+    # predicted coordinate maps + matching features for the graph frames
+    # (chunked device programs; features are the encoder's cell features
+    # randomly projected to cfg.feature_dim and L2-normalized — the same
+    # descriptors the head regresses coordinates from, so a cell's feature
+    # identifies its image content across frames)
+    canv_dev, sizes_dev, root_idx = scene.images.device_view()
+    coords_list, mask_list, feat_list = [], [], []
+    chunk = 64
+    for c0 in range(0, ns, chunk):
+        idx = sub[c0 : min(c0 + chunk, ns)]
+        pad = chunk - len(idx)
+        idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
+        cc, mm, ff = _coords_feats_chunk_from_root(
+            encoder_params, head_params, head_cfg,
+            canv_dev, sizes_dev, jnp.asarray(root_idx[idx_p], jnp.int32),
+            feature_dim=cfg.feature_dim,
+        )
+        coords_list.append(cc[: len(idx)])
+        mask_list.append(mm[: len(idx)])
+        feat_list.append(ff[: len(idx)])
+    coords = jnp.concatenate(coords_list)  # (ns, h, w, 3) graph frames
+    mask_lr = jnp.concatenate(mask_list)
+    feats = jnp.concatenate(feat_list)
+
+    s_sub, R_sub, t_sub, diag = loop_close_core(
+        coords, feats, mask_lr, w2c_scene[sub], conf_scene[sub],
+        focals_canvas[sub], (H, W), conf_threshold, cfg,
+    )
+    if "skipped" in diag:
+        _logger.warning("loop closure skipped: %s", diag["skipped"])
+        return entries, diag
+
+    # extend to all scene frames: nearest graph camera center
+    s_all = np.ones(n)
+    R_all = np.tile(np.eye(3), (n, 1, 1))
+    t_all = np.zeros((n, 3))
+    s_all[sub], R_all[sub], t_all[sub] = s_sub, R_sub, t_sub
+    c2w_all = np.linalg.inv(w2c_scene)
+    rest = np.setdiff1d(np.arange(n), sub)
+    if len(rest):
+        d = np.linalg.norm(
+            c2w_all[rest, :3, 3][:, None] - c2w_all[sub, :3, 3][None], axis=-1
+        )
+        nearest = sub[np.argmin(d, axis=1)]
+        s_all[rest] = s_all[nearest]
+        R_all[rest] = R_all[nearest]
+        t_all[rest] = t_all[nearest]
+
+    # apply S_i to poses: c2w' = S_i ∘ c2w (rigid part rotates/moves the
+    # camera with its sheet; scale moves the camera center)
+    new_entries = []
+    for e in entries:
+        k = by_file[e.rgb_file]
+        c2w = e.pose_c2w
+        c2w_n = np.eye(4)
+        c2w_n[:3, :3] = R_all[k] @ c2w[:3, :3]
+        c2w_n[:3, 3] = s_all[k] * R_all[k] @ c2w[:3, 3] + t_all[k]
+        new_entries.append(
+            PoseFileEntry(
+                rgb_file=e.rgb_file,
+                pose_w2c=np.linalg.inv(c2w_n),
+                focal_length=e.focal_length,
+                confidence=e.confidence,
+            )
+        )
+    _logger.info(
+        "Loop closure: %d edges, median sheet rms %.4f, "
+        "median correction %.1f cm / %.2f deg (graph residual %.2f deg / %.1f cm)",
+        diag["edges"], diag["median_edge_rms"],
+        diag["median_corr_t"] * 100, diag["median_corr_rot_deg"],
+        diag.get("graph_residual_rot_deg", 0.0),
+        diag.get("graph_residual_t", 0.0) * 100,
+    )
+    return new_entries, diag

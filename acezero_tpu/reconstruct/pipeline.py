@@ -445,6 +445,30 @@ class AceZeroPipeline:
             self._render_round(head_params, iteration_id, entries)
         return entries
 
+    def _loop_close(
+        self, entries: list[PoseFileEntry], head_params: dict, focal_estimate: float | None
+    ) -> list[PoseFileEntry]:
+        """Sim(3) pose-graph loop closure over the current map's cross-view
+        sheet consistency (reconstruct/loopclose.py). Applied right before a
+        refit round so the fresh network trains from drift-corrected poses.
+        No-ops (returns entries unchanged) when disabled or degenerate."""
+        if not self.cfg.loop_closure:
+            return entries
+        from acezero_tpu.reconstruct.loopclose import loop_close_entries
+
+        with stage("loop_closure", trace=True):
+            corrected, diag = loop_close_entries(
+                self.encoder_params,
+                head_params,
+                self.head_cfg,
+                self.scene,
+                entries,
+                conf_threshold=self.cfg.registration_confidence,
+                focal_override_orig=focal_estimate,
+                max_frames=self.cfg.loop_closure_max_frames,
+            )
+        return corrected
+
     def _render_round(self, head_params: dict, iteration_id: str, entries) -> None:
         """Visualization hooks after a registration round: update the point
         cloud from the current map, render mapping + reloc frames, persist
@@ -632,6 +656,10 @@ class AceZeroPipeline:
                     break
             if iteration >= cfg.iterations_max - 2:
                 scheduled_to_stop_early = True
+            if scheduled_to_stop_early:
+                # drain accumulated drift before the final refit retrains
+                # the map from these poses (reconstruct/loopclose.py)
+                entries = self._loop_close(entries, head_params, focal_estimate)
             max_rate = max(rate, max_rate)
 
         # ---------------- extra refit cycles (drift drain) ----------------
@@ -642,6 +670,7 @@ class AceZeroPipeline:
         for extra in range(1, max(1, cfg.final_refit_cycles) if cfg.final_refit else 1):
             iteration += 1
             iteration_id = f"iteration{iteration}"
+            entries = self._loop_close(entries, head_params, focal_estimate)
             mapping_scene = self._mapping_scene_from_entries(entries)
             _logger.info(
                 "%s: extra refit cycle %d on %d frames", iteration_id, extra, len(mapping_scene)

@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="extra refit<->register cycles after convergence "
                         "(drains loop drift on ring captures; 1 = reference)")
     g.add_argument("--refit_iterations", type=int, default=25000)
+    g.add_argument("--loop_closure", type=_strtobool, default=True,
+                   help="Sim(3) pose-graph loop closure before refit rounds "
+                        "(drains ring/360 drift; beyond-reference)")
+    g.add_argument("--loop_closure_max_frames", type=int, default=256)
+    g.add_argument("--adaptive_refit_max_cycles", type=int, default=3,
+                   help="cap on drift-gated extra refit cycles (0 disables)")
     g.add_argument("--registration_confidence", type=int, default=500)
     g.add_argument("--try_seeds", type=int, default=5)
     g.add_argument("--seed_parallel_workers", type=int, default=3)
@@ -75,6 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--repro_loss_hard_clamp", type=int, default=1000)
     g.add_argument("--repro_loss_soft_clamp", type=int, default=50)
     g.add_argument("--aug_rotation", type=int, default=15)
+    g.add_argument("--aug_black_white", type=float, default=0.1)
     g.add_argument("--num_data_workers", type=int, default=12)
     g.add_argument("--training_buffer_cpu", type=_strtobool, default=False)
     g.add_argument("--encoder_path", type=Path, default=None)
@@ -115,6 +122,9 @@ def config_from_args(args: argparse.Namespace) -> AceZeroConfig:
         final_refit_posewait=args.final_refit_posewait,
         final_refit_cycles=args.final_refit_cycles,
         refit_iterations=args.refit_iterations,
+        loop_closure=args.loop_closure,
+        loop_closure_max_frames=args.loop_closure_max_frames,
+        adaptive_refit_max_cycles=args.adaptive_refit_max_cycles,
         registration_confidence=args.registration_confidence,
         try_seeds=args.try_seeds,
         seed_iterations=args.seed_iterations,
@@ -140,6 +150,7 @@ def config_from_args(args: argparse.Namespace) -> AceZeroConfig:
         repro_loss_hard_clamp=args.repro_loss_hard_clamp,
         repro_loss_soft_clamp=args.repro_loss_soft_clamp,
         aug_rotation=args.aug_rotation,
+        aug_black_white=args.aug_black_white,
         training_buffer_cpu=args.training_buffer_cpu,
         ransac_iterations=args.ransac_iterations,
         ransac_threshold=args.ransac_threshold,

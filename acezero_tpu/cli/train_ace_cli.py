@@ -90,6 +90,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_aug", type=_strtobool, default=True)
     p.add_argument("--aug_rotation", type=int, default=15)
     p.add_argument("--aug_scale", type=float, default=1.5)
+    p.add_argument("--aug_black_white", type=float, default=0.1)
 
     p.add_argument("--pose_refinement", type=str, default="none", choices=["none", "naive", "mlp"])
     p.add_argument("--pose_refinement_weight", type=float, default=0.1)
@@ -225,6 +226,7 @@ def main(argv: list[str] | None = None) -> int:
         use_aug=args.use_aug,
         aug_rotation=args.aug_rotation,
         aug_scale_max=args.aug_scale,
+        aug_black_white=args.aug_black_white,
     )
 
     trainer = MappingTrainer(

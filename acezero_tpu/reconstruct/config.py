@@ -71,6 +71,7 @@ class AceZeroConfig:
     repro_loss_hard_clamp: float = 1000.0
     repro_loss_soft_clamp: float = 50.0
     aug_rotation: float = 15.0
+    aug_black_white: float = 0.1  # brightness/contrast jitter half-range
     training_buffer_cpu: bool = False
     iterations: int = 25000  # per-round cap (train_ace.py default)
     batch_size: int = 5120
@@ -103,6 +104,14 @@ class AceZeroConfig:
     # frames; no-ops gracefully when the graph is degenerate.
     loop_closure: bool = True
     loop_closure_max_frames: int = 256  # graph-size cap (memory bound)
+    # adaptive drift drain: extra refit<->register cycles keep running while
+    # loop closure measures corrections above its convergence gate
+    # (pipeline._drift_detected) — ring captures trigger 2-3 cycles, forward
+    # scans none, so the reference's single-final-pass control flow is
+    # preserved whenever there is no drift to drain. Hard cap on the extra
+    # cycles; 0 disables the adaptive path (explicit final_refit_cycles
+    # still honored).
+    adaptive_refit_max_cycles: int = 3
 
     # internal knobs (not in the reference surface)
     # device-mesh size: 0 = all visible devices, 1 = single device (no mesh),
@@ -110,4 +119,7 @@ class AceZeroConfig:
     num_devices: int = 0
     num_decode_workers: int = 16
     refinement_steps: int = 100  # registrar refit cap (early-stops on no growth)
+    # registrar two-tier refit: first-pass step cap before stragglers re-run
+    # densely packed at the full cap (registration/driver.py); <=0 disables
+    refit_tier1: int = 16
     extras: dict = field(default_factory=dict)

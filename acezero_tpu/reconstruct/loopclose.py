@@ -918,6 +918,7 @@ def loop_close_core(
         "median_corr_rot_deg": float(
             np.median(np.degrees(np.linalg.norm(_rotlog(R_g), axis=1)))
         ),
+        "scene_diag": float(diag_len),
         **{f"graph_{k}": v for k, v in gdiag.items()},
     }
     return s_all, R_all, t_all, diag

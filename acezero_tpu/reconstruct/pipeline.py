@@ -187,6 +187,7 @@ class AceZeroPipeline:
             max_dataset_passes=cfg.max_dataset_passes,
             use_aug=True,
             aug_rotation=cfg.aug_rotation,
+            aug_black_white=cfg.aug_black_white,
         )
 
     def _base_train_cfg(self, iterations: int, use_depth: bool, refine: bool) -> TrainConfig:
@@ -249,6 +250,7 @@ class AceZeroPipeline:
             max_estimates=max_estimates,
             frame_chunk=cfg.registration_frame_chunk,
             base_seed=cfg.random_seed,
+            refit_tier1=cfg.refit_tier1,
         )
 
     # --------------------------------------------------------------- seeds
@@ -447,13 +449,16 @@ class AceZeroPipeline:
 
     def _loop_close(
         self, entries: list[PoseFileEntry], head_params: dict, focal_estimate: float | None
-    ) -> list[PoseFileEntry]:
+    ) -> tuple[list[PoseFileEntry], dict]:
         """Sim(3) pose-graph loop closure over the current map's cross-view
         sheet consistency (reconstruct/loopclose.py). Applied right before a
         refit round so the fresh network trains from drift-corrected poses.
-        No-ops (returns entries unchanged) when disabled or degenerate."""
+        No-ops (returns entries unchanged) when disabled or degenerate.
+
+        Returns (corrected entries, diagnostics); the diagnostics carry the
+        median correction magnitude that gates the adaptive refit cycles."""
         if not self.cfg.loop_closure:
-            return entries
+            return entries, {"skipped": "disabled"}
         from acezero_tpu.reconstruct.loopclose import loop_close_entries
 
         with stage("loop_closure", trace=True):
@@ -467,7 +472,23 @@ class AceZeroPipeline:
                 focal_override_orig=focal_estimate,
                 max_frames=self.cfg.loop_closure_max_frames,
             )
-        return corrected
+        return corrected, diag
+
+    def _drift_detected(self, lc_diag: dict) -> bool:
+        """True when loop closure measured corrections large enough that one
+        refit round cannot have drained the drift (the adaptive-cycle
+        trigger). Thresholds sit well under the 5cm/5deg accuracy bar but
+        above the correction noise floor of a converged map (measured: a
+        drifted 60-view ring reports ~6 cm median correction on a ~6 m
+        scene; converged forward sweeps report millimetres)."""
+        if "skipped" in lc_diag:
+            return False
+        diag_len = lc_diag.get("scene_diag", 0.0)
+        t_gate = max(0.005 * diag_len, 0.01)
+        return (
+            lc_diag.get("median_corr_t", 0.0) > t_gate
+            or lc_diag.get("median_corr_rot_deg", 0.0) > 0.5
+        )
 
     def _render_round(self, head_params: dict, iteration_id: str, entries) -> None:
         """Visualization hooks after a registration round: update the point
@@ -659,18 +680,35 @@ class AceZeroPipeline:
             if scheduled_to_stop_early:
                 # drain accumulated drift before the final refit retrains
                 # the map from these poses (reconstruct/loopclose.py)
-                entries = self._loop_close(entries, head_params, focal_estimate)
+                entries, _ = self._loop_close(entries, head_params, focal_estimate)
             max_rate = max(rate, max_rate)
 
         # ---------------- extra refit cycles (drift drain) ----------------
         # beyond-reference: repeat refit->register after convergence; ring
-        # captures need it to drain accumulated translation drift (see
-        # AceZeroConfig.final_refit_cycles). Each cycle is one fresh dyntanh
-        # refit + one registration pass (~1 min on one chip at 60 frames).
-        for extra in range(1, max(1, cfg.final_refit_cycles) if cfg.final_refit else 1):
+        # captures need it to drain accumulated translation drift. Cycles
+        # run while (a) the recipe explicitly asked for them
+        # (final_refit_cycles > 1), or (b) loop closure measures corrections
+        # big enough that one refit cannot have drained the drift
+        # (_drift_detected; capped at adaptive_refit_max_cycles). Forward
+        # scans report mm-scale corrections and never trigger (b), so the
+        # default control flow stays the reference's single final pass
+        # (ace_zero.py:251-256). Each cycle is one fresh dyntanh refit + one
+        # registration pass (~1 min on one chip at 60 frames).
+        extra = 0
+        while cfg.final_refit:
+            extra += 1
+            explicit = extra < max(1, cfg.final_refit_cycles)
+            adaptive_allowed = (
+                cfg.loop_closure and extra <= cfg.adaptive_refit_max_cycles
+            )
+            if not explicit and not adaptive_allowed:
+                break
+            corrected, lc_diag = self._loop_close(entries, head_params, focal_estimate)
+            if not explicit and not self._drift_detected(lc_diag):
+                break  # converged: keep the uncorrected (registration) poses
+            entries = corrected
             iteration += 1
             iteration_id = f"iteration{iteration}"
-            entries = self._loop_close(entries, head_params, focal_estimate)
             mapping_scene = self._mapping_scene_from_entries(entries)
             _logger.info(
                 "%s: extra refit cycle %d on %d frames", iteration_id, extra, len(mapping_scene)

@@ -47,6 +47,16 @@ class RegistrationConfig:
     max_estimates: int = -1
     frame_chunk: int = 64
     base_seed: int = 1305
+    # Two-tier refit budget: the vmapped refineHyp while_loop runs to the
+    # SLOWEST lane of a chunk, so one stubborn frame makes all 64 lanes pay
+    # the full 100-step cap (measured 16-31s/chunk on noisy maps, round-2
+    # notes). Pass 1 caps every frame at `refit_tier1` steps; frames whose
+    # loop was cut short while still growing re-run densely packed with the
+    # full budget AND THE SAME PER-FRAME PRNG KEY — the program is
+    # deterministic, so the rerun walks the identical refinement trajectory
+    # and the two-tier result is bit-equal to a single full-budget pass.
+    # <=0 disables tiering.
+    refit_tier1: int = 16
 
 
 def _canvas_prologue(images_u8, sizes, subsample: int):
@@ -297,8 +307,19 @@ def register_frames(
 
     entries: list[PoseFileEntry] = []
     failed_idx: list[int] = []
+    capped_idx: list[int] = []
+    frame_key: dict[int, np.ndarray] = {}
     entry_slot: dict[int, int] = {}
     t0 = time.time()
+
+    full_steps = cfg.ransac.refinement_steps
+    tiered = 0 < cfg.refit_tier1 < full_steps
+    if tiered:
+        from dataclasses import replace as _replace
+
+        pass1_cfg = _replace(cfg.ransac, refinement_steps=cfg.refit_tier1)
+    else:
+        pass1_cfg = cfg.ransac
 
     canv_dev = sizes_dev = root_idx = None
     if mesh is None:
@@ -349,13 +370,18 @@ def register_frames(
         idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, chunk)
-        out = jax.device_get(_run_chunk(idx_p, keys, cfg.ransac))
+        out = jax.device_get(_run_chunk(idx_p, keys, pass1_cfg))
         poses_c2w = out["pose_c2w"].astype(np.float64)
         confs = out["inlier_count"]
         valids = out["valid"]
+        caps = out["hit_cap"]
+        keys_np = np.asarray(keys)
         for j, i in enumerate(idx):
             if not valids[j]:
                 failed_idx.append(int(i))
+            if tiered and caps[j]:
+                capped_idx.append(int(i))
+                frame_key[int(i)] = keys_np[j]
             entry_slot[int(i)] = len(entries)
             entries.append(
                 PoseFileEntry(
@@ -365,6 +391,32 @@ def register_frames(
                     confidence=float(confs[j]),
                 )
             )
+
+    # tier-2: frames the short budget cut off mid-growth re-run densely
+    # packed with the full refineHyp cap and their original keys (bit-equal
+    # to a single full-budget pass; see refit_tier1 note above)
+    if capped_idx:
+        _logger.info(
+            "Refit tier 2: %d/%d frames re-run at the %d-step cap.",
+            len(capped_idx), len(order), full_steps,
+        )
+        carr = np.asarray(capped_idx)
+        for c0 in range(0, len(carr), chunk):
+            idx = carr[c0 : c0 + chunk]
+            pad = chunk - len(idx)
+            idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
+            keys = jnp.asarray(np.stack([frame_key[int(i)] for i in idx_p]))
+            out = jax.device_get(_run_chunk(idx_p, keys, cfg.ransac))
+            poses_c2w = out["pose_c2w"].astype(np.float64)
+            confs = out["inlier_count"]
+            for j, i in enumerate(idx):
+                slot = entry_slot[int(i)]
+                entries[slot] = PoseFileEntry(
+                    rgb_file=entries[slot].rgb_file,
+                    pose_w2c=np.linalg.inv(poses_c2w[j]),
+                    focal_length=entries[slot].focal_length,
+                    confidence=float(confs[j]),
+                )
 
     # total-sampling-failure fallback: frames where no minimal set validated
     # across hypotheses x max_tries draws get one more pass with a 4x try

@@ -190,7 +190,7 @@ def _refine(rvec0, tvec0, pts, px, mask_f, focal, ppx, ppy, cfg: RansacConfig):
         jnp.asarray(True),
         jnp.asarray(0, jnp.int32),
     )
-    rvec, tvec, best_count, best_rvec, best_tvec, _, _ = jax.lax.while_loop(
+    rvec, tvec, best_count, best_rvec, best_tvec, growing, steps = jax.lax.while_loop(
         cond, body, init
     )
     # final chance for the last refit to win
@@ -199,7 +199,10 @@ def _refine(rvec0, tvec0, pts, px, mask_f, focal, ppx, ppy, cfg: RansacConfig):
     best_count = jnp.where(improved, count, best_count)
     best_rvec = jnp.where(improved, rvec, best_rvec)
     best_tvec = jnp.where(improved, tvec, best_tvec)
-    return best_rvec, best_tvec, best_count
+    # still growing when the step cap cut the loop short (not natural
+    # convergence) — the driver re-runs such frames with a bigger budget
+    hit_cap = growing & (steps >= cfg.refinement_steps)
+    return best_rvec, best_tvec, best_count, hit_cap
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -253,7 +256,7 @@ def estimate_pose(
     best_h = jnp.argmax(scores)
     any_valid = jnp.any(hyp_valid)
 
-    rvec, tvec, inliers = _refine(
+    rvec, tvec, inliers, hit_cap = _refine(
         rvec_h[best_h], tvec_h[best_h], pts, px, mask_f, focal, ppx, ppy, cfg
     )
 
@@ -268,6 +271,7 @@ def estimate_pose(
         "inlier_count": inliers,
         "score": scores[best_h],
         "valid": any_valid,
+        "hit_cap": hit_cap & any_valid,
     }
 
 

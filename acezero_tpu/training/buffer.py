@@ -41,6 +41,9 @@ class BufferConfig:
     use_aug: bool = True
     aug_rotation: float = 15.0
     aug_scale_max: float = 1.5
+    # brightness/contrast jitter half-range (reference CamLocDataset
+    # aug_black_white, dataset.py:61,148; default 0.1 -> [0.9, 1.1])
+    aug_black_white: float = 0.1
     image_chunk: int = 32  # images encoded per jitted chunk
     subsample: int = 8
 
@@ -82,6 +85,7 @@ def _fill_chunk(
         aug_rotation_deg=cfg.aug_rotation if cfg.use_aug else 0.0,
         aug_scale_min=1.0 / cfg.aug_scale_max,
         aug_scale_max=cfg.aug_scale_max,
+        aug_black_white=cfg.aug_black_white,
         enabled=cfg.use_aug,
     )
 

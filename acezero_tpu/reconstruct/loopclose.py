@@ -72,6 +72,12 @@ class LoopCloseConfig:
     depth_min: float = 0.1  # reference depth validity band (ace_trainer.py:558)
     depth_max: float = 1000.0
     pair_chunk: int = 64  # pairs per device program (memory bound)
+    # track bundle adjustment over the matcher's pixel correspondences,
+    # applied after the Sim(3) graph correction (reconstruct/ba.py): drains
+    # the NON-rigid bend the per-frame Sim(3) solve cannot express
+    ba: bool = True
+    ba_iterations: int = 30
+    ba_max_obs: int = 6
 
 
 # --------------------------------------------------------------------- JAX
@@ -281,7 +287,10 @@ def pairwise_sim3(
             oi = peak_offset(s_at(-1, 0), sim1, s_at(1, 0))
             oj = peak_offset(s_at(0, -1), sim1, s_at(0, 1))
             Xs, vj = sample_sheet(bi + oi, bj + oj)
-            return Xs, ok & vj
+            # continuous target cell coords (col, row) — the BA stage
+            # consumes these as pixel observations (reconstruct/ba.py)
+            uv_cells = jnp.stack([bj + oj, bi + oi], -1)
+            return Xs, ok & vj, uv_cells
 
         def gn_step(s, R, t, Xj, ok):
             """One robust truncated-GN step on the Sim(3) left tangent
@@ -400,7 +409,7 @@ def pairwise_sim3(
             gate = jnp.asarray(
                 1e9 if round_idx == 0 else cfg.match_gate_cells, jnp.float32
             )
-            Xj_m, m_ok = match(s, R, t, gate)
+            Xj_m, m_ok, _ = match(s, R, t, gate)
 
             def fit_body(carry, _, Xj_m=Xj_m, m_ok=m_ok):
                 s, R, t = carry
@@ -412,7 +421,7 @@ def pairwise_sim3(
             )
 
         # ---- joint polish: matched (fixed) + point-to-plane (ray) ----
-        Xj_m, m_ok = match(s, R, t, jnp.asarray(cfg.match_gate_cells, jnp.float32))
+        Xj_m, m_ok, uv_m = match(s, R, t, jnp.asarray(cfg.match_gate_cells, jnp.float32))
 
         def polish_body(carry, _, Xj_m=Xj_m, m_ok=m_ok):
             s, R, t = carry
@@ -436,6 +445,9 @@ def pairwise_sim3(
         return {
             "scale": s, "R": R, "t": t, "n_inliers": n_in, "rms": rms,
             "H": H / jnp.maximum(n_in, 1).astype(jnp.float32),
+            # per-match target pixels (canvas coords) + validity for the BA
+            "u_tgt": uv_m * subsample + subsample / 2.0,
+            "m_ok": m_ok,
         }
 
     return jax.vmap(one_pair)(
@@ -799,7 +811,8 @@ def loop_close_core(
         return s_id, R_id, t_id, {"skipped": "too_few_covisible_pairs"}
     pairs = graph_idx[pairs_local]  # scene-frame indices (E, 2)
     E = len(pairs)
-    out = {"scale": [], "R": [], "t": [], "n_inliers": [], "rms": [], "H": []}
+    out = {"scale": [], "R": [], "t": [], "n_inliers": [], "rms": [], "H": [],
+           "u_tgt": [], "m_ok": []}
     chunk_e = min(cfg.pair_chunk, E)
     for c0 in range(0, E, chunk_e):
         pc = pairs[c0 : c0 + chunk_e]
@@ -830,6 +843,8 @@ def loop_close_core(
     n_in = np.concatenate(out["n_inliers"]).astype(np.float64)
     rms = np.concatenate(out["rms"]).astype(np.float64)
     m_H = np.concatenate(out["H"]).astype(np.float64)
+    m_u_tgt = np.concatenate(out["u_tgt"]).astype(np.float32)
+    m_okm = np.concatenate(out["m_ok"])
 
     good = n_in >= cfg.min_pair_points
     # rms gate: a wrong-basin fit (self-similar geometry pulled the ICP to
@@ -911,6 +926,14 @@ def loop_close_core(
         R_all[non_graph] = R_all[nearest]
         t_all[non_graph] = t_all[nearest]
 
+    # matcher pixel correspondences for the BA stage: source pixels are the
+    # strided source-cell centers (identical grid for every source frame)
+    ii = np.arange(0, h, step) * 8 + 4.0
+    jj = np.arange(0, w, step) * 8 + 4.0
+    u_src = np.stack(
+        [np.tile(jj, len(ii)), np.repeat(ii, len(jj))], -1
+    ).astype(np.float32)  # (P, 2) row-major like the ::step reshape
+
     diag = {
         "edges": int(good.sum()),
         "median_edge_rms": float(np.median(rms[good])),
@@ -919,6 +942,14 @@ def loop_close_core(
             np.median(np.degrees(np.linalg.norm(_rotlog(R_g), axis=1)))
         ),
         "scene_diag": float(diag_len),
+        "ba_data": {
+            # indices into the CORE INPUT frames (0..n-1), i.e. the same
+            # space as the returned per-frame corrections
+            "pairs": pairs[good],
+            "u_src": u_src,
+            "u_tgt": m_u_tgt[good],
+            "ok": np.asarray(m_okm[good]),
+        },
         **{f"graph_{k}": v for k, v in gdiag.items()},
     }
     return s_all, R_all, t_all, diag
@@ -1017,28 +1048,71 @@ def loop_close_entries(
     s_all[sub], R_all[sub], t_all[sub] = s_sub, R_sub, t_sub
     c2w_all = np.linalg.inv(w2c_scene)
     rest = np.setdiff1d(np.arange(n), sub)
+    nearest_of_rest = rest
     if len(rest):
         d = np.linalg.norm(
             c2w_all[rest, :3, 3][:, None] - c2w_all[sub, :3, 3][None], axis=-1
         )
-        nearest = sub[np.argmin(d, axis=1)]
-        s_all[rest] = s_all[nearest]
-        R_all[rest] = R_all[nearest]
-        t_all[rest] = t_all[nearest]
+        nearest_of_rest = sub[np.argmin(d, axis=1)]
+        s_all[rest] = s_all[nearest_of_rest]
+        R_all[rest] = R_all[nearest_of_rest]
+        t_all[rest] = t_all[nearest_of_rest]
 
     # apply S_i to poses: c2w' = S_i ∘ c2w (rigid part rotates/moves the
     # camera with its sheet; scale moves the camera center)
-    new_entries = []
-    for e in entries:
-        k = by_file[e.rgb_file]
-        c2w = e.pose_c2w
+    c2w_corr = np.empty((n, 4, 4))
+    for k in range(n):
+        c2w = c2w_all[k]
         c2w_n = np.eye(4)
         c2w_n[:3, :3] = R_all[k] @ c2w[:3, :3]
         c2w_n[:3, 3] = s_all[k] * R_all[k] @ c2w[:3, 3] + t_all[k]
+        c2w_corr[k] = c2w_n
+
+    # ---- track bundle adjustment on the matcher's pixel correspondences
+    # (reconstruct/ba.py): drains the non-rigid bend the per-frame Sim(3)
+    # corrections cannot express. Non-graph frames inherit the nearest
+    # graph frame's rigid delta; registration re-estimates them anyway.
+    ba_data = diag.pop("ba_data", None)
+    if cfg.ba and ba_data is not None and len(ba_data["pairs"]) >= 2:
+        from acezero_tpu.reconstruct.ba import refine_poses_ba
+
+        w2c_sub_corr = np.linalg.inv(c2w_corr[sub])
+        Epairs = len(ba_data["pairs"])
+        u_src_e = np.broadcast_to(
+            ba_data["u_src"][None], (Epairs,) + ba_data["u_src"].shape
+        )
+        w2c_ba, ba_diag = refine_poses_ba(
+            w2c_sub_corr,
+            focals_canvas[sub],
+            (W / 2.0, H / 2.0),
+            ba_data["pairs"],
+            u_src_e,
+            ba_data["u_tgt"],
+            ba_data["ok"],
+            iterations=cfg.ba_iterations,
+            max_obs=cfg.ba_max_obs,
+        )
+        diag["ba"] = ba_diag
+        if "skipped" not in ba_diag:
+            D = np.linalg.inv(w2c_ba) @ np.linalg.inv(c2w_corr[sub])
+            nearest_all = np.empty(n, np.int64)
+            nearest_all[sub] = np.arange(ns)
+            if len(rest):
+                sub_pos = {int(f): p for p, f in enumerate(sub)}
+                nearest_all[rest] = [sub_pos[int(f)] for f in nearest_of_rest]
+            c2w_corr = D[nearest_all] @ c2w_corr
+            _logger.info(
+                "BA polish: %d tracks, rms %.2f -> %.2f px",
+                ba_diag["n_tracks"], ba_diag["rms_px_first"], ba_diag["rms_px_last"],
+            )
+
+    new_entries = []
+    for e in entries:
+        k = by_file[e.rgb_file]
         new_entries.append(
             PoseFileEntry(
                 rgb_file=e.rgb_file,
-                pose_w2c=np.linalg.inv(c2w_n),
+                pose_w2c=np.linalg.inv(c2w_corr[k]),
                 focal_length=e.focal_length,
                 confidence=e.confidence,
             )

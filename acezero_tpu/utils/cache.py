@@ -22,7 +22,17 @@ def enable_compilation_cache() -> None:
     if target == "0":
         return
     if not target:
-        target = str(Path.home() / ".cache" / "acezero_tpu" / "xla")
+        # prefer the pre-seeded in-repo cache when present: the repo ships
+        # compiled programs for the recipe shapes (480x640 canvas, batch
+        # 5120, default head), which cuts the cold-start compile wall (~12
+        # min measured in round 2) to a warm start on identical
+        # hardware/jaxlib. Cache keys include backend + jaxlib versions, so
+        # a mismatched environment simply misses and recompiles.
+        repo_cache = Path(__file__).resolve().parents[2] / ".xla_cache"
+        if repo_cache.is_dir() and os.access(repo_cache, os.W_OK):
+            target = str(repo_cache)
+        else:
+            target = str(Path.home() / ".cache" / "acezero_tpu" / "xla")
     try:
         import jax
 

@@ -97,7 +97,8 @@ def main() -> int:
     t0 = time.time()
     state, _ = _train_chunk(state, buffer, ctx, cfg, head_cfg, steps)
     _ = int(state.iteration)
-    log(f"train compile+first {steps} steps: {time.time() - t0:.1f}s")
+    compile_s = time.time() - t0
+    log(f"train compile+first {steps} steps: {compile_s:.1f}s")
 
     times = []
     for _rep in range(2):
@@ -188,6 +189,12 @@ def main() -> int:
             "baseline": "~20-30 frames/s, reference DSAC* C++ on 12 CPU threads (measured r1)",
             "vs_baseline": round(reg_fps / 25.0, 2),
         }
+    result["secondary"]["train_compile_plus_first_chunk_s"] = {
+        "value": round(compile_s, 1),
+        "unit": "s (500-step chunk; ~= steady-state chunk time when the "
+                "persistent XLA cache at .xla_cache/ hits, compile wall "
+                "otherwise)",
+    }
     if fill_ms is not None:
         result["secondary"]["buffer_fill_ms_per_image"] = {
             "value": round(fill_ms, 1),

@@ -186,6 +186,15 @@ def main() -> int:
         result["secondary"]["registration_frames_per_sec"] = {
             "value": round(reg_fps, 1),
             "unit": "frames/s (32 hyps, 60x80 cells, one chip)",
+            "note": (
+                "single-pass registrar program on clean synthetic maps; "
+                "the production driver adds the two-tier refit budget "
+                "(registration/driver.py), which removes the round-2 "
+                "pathology where one stubborn frame made a whole chunk pay "
+                "the 100-step refineHyp cap (was 16-31 s per 60-frame "
+                "chunk on noisy maps; round-3 chess-scale: 2400 real "
+                "frames per round in 25-60 s incl. encoder+head inference)"
+            ),
             "baseline": "~20-30 frames/s, reference DSAC* C++ on 12 CPU threads (measured r1)",
             "vs_baseline": round(reg_fps / 25.0, 2),
         }

@@ -104,10 +104,18 @@ def load_scene(
     image_short_size: int = 480,
     use_heuristic_focal_length: bool = False,
     external_focal_length: float | None = None,
+    calibration_files: str | None = None,
     canvas_hw: tuple[int, int] | None = None,
     num_workers: int = 16,
 ) -> SceneData:
-    """Load a scene following the reference's data-definition precedence."""
+    """Load a scene following the reference's data-definition precedence.
+
+    calibration_files: optional glob of per-frame focal-length files
+    (scalar, or 3x3 K whose [0,0] is used — reference
+    dataset_io.load_focal_length:26-44), matched to rgb files by
+    alphabetical order like every other sidecar. The PGT 7-Scenes layout
+    (datasets/setup_7scenes.py --poses pgt) emits these.
+    """
 
     focal_per_file: dict[str, float] = {}
 
@@ -136,6 +144,16 @@ def load_scene(
         else:
             poses = [np.eye(4) for _ in files]
             pose_valid = np.zeros(len(files), bool)
+        if calibration_files is not None:
+            from acezero_tpu.io.pose_files import load_focal_length
+
+            calib = get_files_from_glob(calibration_files)
+            if len(calib) != len(files):
+                raise ValueError(
+                    f"{len(files)} rgb files but {len(calib)} calibration files "
+                    f"for {calibration_files}"
+                )
+            focal_per_file = {f: load_focal_length(c) for f, c in zip(files, calib)}
 
     if pose_seed > -1:
         # single-image seed with identity pose (reference dataset.py:110-127)

@@ -111,35 +111,106 @@ def main() -> int:
     log(f"steady-state: {steps} steps in {dt:.2f}s -> {steps_per_sec:.1f} steps/s")
     assert np.isfinite(np.asarray(stats["loss"])).all()
 
-    # ---- secondary: registration throughput ------------------------------
+    # ---- secondary: registration throughput through the PRODUCTION driver
+    # (register_frames: chunked host loop, two-tier refineHyp budget,
+    # failure retries) on NOISY maps — the number that governs real
+    # reconstruction wall-clock, not the clean-map single-program rate.
+    # Scene-coordinate inference (encoder+head on 480x640 frames) runs for
+    # real inside each chunk; its outputs are swapped for ground-truth maps
+    # corrupted with 5 cm iid noise + 25% outliers so the refinement loops
+    # do representative work (a random head would peg every lane at the
+    # 100-step cap; a trained head is not available inside the bench).
     try:
+        from acezero_tpu.data.images import DecodedImages
+        from acezero_tpu.data.scene import SceneData
         from acezero_tpu.geometry.projection import get_pixel_grid
-        from acezero_tpu.registration.ransac import RansacConfig, estimate_poses_batch
+        from acezero_tpu.registration import driver as reg_driver
+        from acezero_tpu.registration.driver import RegistrationConfig, register_frames
+        from acezero_tpu.registration.ransac import RansacConfig
 
-        B, h, w = 32, 60, 80
-        grid = get_pixel_grid(h, w)
-        depth = jax.random.uniform(jax.random.PRNGKey(1), (B, h, w), minval=2.0, maxval=8.0)
-        x = (grid[None, ..., 0] - 320.0) / 525.0 * depth
-        y = (grid[None, ..., 1] - 240.0) / 525.0 * depth
-        coords = jnp.stack([x, y, depth], axis=-1)
-        rcfg = RansacConfig(hypotheses=32, max_tries=16)
-        args = (
-            coords,
-            jnp.ones((B, h, w), bool),
-            grid,
-            jnp.full((B,), 525.0),
-            jnp.full((B,), 320.0),
-            jnp.full((B,), 240.0),
+        B, H, W = 256, 480, 640
+        h, w = H // 8, W // 8
+        focal = 525.0
+        rng = np.random.default_rng(11)
+        # cameras on a ring looking inward, smooth per-frame depth fields
+        grid = np.asarray(get_pixel_grid(h, w, 8))
+        angles = rng.uniform(0, 2 * np.pi, B)
+        c2w = np.tile(np.eye(4, dtype=np.float64)[None], (B, 1, 1))
+        for i, a in enumerate(angles):
+            fwd = np.array([-np.cos(a), 0.0, -np.sin(a)])
+            up = np.array([0.0, -1.0, 0.0])
+            right = np.cross(up, fwd); right /= np.linalg.norm(right)
+            dwn = np.cross(fwd, right)
+            c2w[i, :3, :3] = np.stack([right, dwn, fwd], axis=1)
+            c2w[i, :3, 3] = -5.0 * fwd + rng.normal(0, 0.2, 3)
+        depth = 3.0 + 2.0 * rng.random((B, h, w))
+        x = (grid[None, ..., 0] - W / 2) / focal * depth
+        y = (grid[None, ..., 1] - H / 2) / focal * depth
+        p_cam = np.stack([x, y, depth], axis=-1)
+        gt_maps = (
+            np.einsum("bij,bhwj->bhwi", c2w[:, :3, :3], p_cam) + c2w[:, None, None, :3, 3]
+        ).astype(np.float32)
+        noisy = gt_maps + rng.normal(0, 0.05, gt_maps.shape).astype(np.float32)
+        out_mask = rng.random((B, h, w)) < 0.25
+        noisy = np.where(
+            out_mask[..., None], rng.uniform(-6, 6, gt_maps.shape).astype(np.float32), noisy
         )
-        out = estimate_poses_batch(jax.random.PRNGKey(2), *args, rcfg)
-        _ = int(out["inlier_count"][0])
-        t0 = time.time()
-        out = estimate_poses_batch(jax.random.PRNGKey(3), *args, rcfg)
-        _ = int(out["inlier_count"][0])
-        reg_fps = B / (time.time() - t0)
-        log(f"registration: {reg_fps:.1f} frames/s (32 hyps, 60x80 cells)")
+        noisy_dev = jnp.asarray(noisy)
+
+        images = DecodedImages(
+            canvases=np.asarray(
+                jax.device_get(jax.random.randint(jax.random.PRNGKey(12), (B, H, W), 0, 255)),
+                np.uint8,
+            ),
+            sizes=np.tile(np.asarray([[H, W]], np.int32), (B, 1)),
+            orig_sizes=np.tile(np.asarray([[H, W]], np.int32), (B, 1)),
+            scale_factors=np.ones(B, np.float32),
+        )
+        scene = SceneData(
+            rgb_files=[f"bench_{i:04d}.png" for i in range(B)],
+            images=images,
+            poses_c2w=c2w.astype(np.float32),
+            pose_valid=np.ones(B, bool),
+            focals_canvas=np.full(B, focal, np.float32),
+            focals_orig=np.full(B, focal, np.float32),
+        )
+        head_params = init_head_params(jax.random.PRNGKey(13), head_cfg, jnp.zeros(3))
+
+        real_coords = reg_driver._coords_chunk_from_root
+
+        def swap_coords(enc_p, head_p, hcfg, canv, sizes, idx, subsample=8):
+            _, mask_lr = real_coords(enc_p, head_p, hcfg, canv, sizes, idx, subsample)
+            return noisy_dev[idx], mask_lr
+
+        reg_driver._coords_chunk_from_root = swap_coords
+        try:
+            rcfg = RegistrationConfig(
+                ransac=RansacConfig(hypotheses=32, max_tries=16, refinement_steps=100),
+                frame_chunk=64,
+                refit_tier1=16,
+            )
+            enc_params = init_encoder_params(jax.random.PRNGKey(14))
+            entries = register_frames(enc_params, head_params, head_cfg, scene, rcfg)
+            t0 = time.time()
+            entries = register_frames(enc_params, head_params, head_cfg, scene, rcfg)
+            reg_fps = B / (time.time() - t0)
+        finally:
+            reg_driver._coords_chunk_from_root = real_coords
+        # sanity: the recovered poses must actually be right, else the
+        # throughput number is meaningless
+        t_errs = [
+            float(np.linalg.norm(np.linalg.inv(e.pose_w2c)[:3, 3] - c2w[i, :3, 3]))
+            for i, e in enumerate(entries)
+        ]
+        med_t_cm = float(np.median(t_errs)) * 100.0
+        log(
+            f"registration (driver path, noisy maps): {reg_fps:.1f} frames/s, "
+            f"median t err {med_t_cm:.1f} cm"
+        )
+        assert med_t_cm < 10.0, f"driver-path registration inaccurate: {med_t_cm:.1f} cm"
     except Exception as exc:  # noqa: BLE001
         reg_fps = None
+        med_t_cm = None
         log(f"registration bench skipped: {exc}")
 
     # ---- secondary: buffer-fill rate (the round-2 warp win) --------------
@@ -185,15 +256,16 @@ def main() -> int:
     if reg_fps is not None:
         result["secondary"]["registration_frames_per_sec"] = {
             "value": round(reg_fps, 1),
-            "unit": "frames/s (32 hyps, 60x80 cells, one chip)",
+            "unit": "frames/s (driver path: 32 hyps, 60x80 cells, 480x640 "
+                    "encoder inference, two-tier refit, one chip)",
             "note": (
-                "single-pass registrar program on clean synthetic maps; "
-                "the production driver adds the two-tier refit budget "
-                "(registration/driver.py), which removes the round-2 "
-                "pathology where one stubborn frame made a whole chunk pay "
-                "the 100-step refineHyp cap (was 16-31 s per 60-frame "
-                "chunk on noisy maps; round-3 chess-scale: 2400 real "
-                "frames per round in 25-60 s incl. encoder+head inference)"
+                "measured through registration.driver.register_frames on "
+                "maps with 5 cm iid noise + 25% outliers (median recovered "
+                f"pose error {med_t_cm:.1f} cm); includes the chunked host "
+                "loop, real encoder+head inference per chunk, the two-tier "
+                "refineHyp budget, and failure retries — the number that "
+                "governs reconstruction wall-clock (round-3 note: the old "
+                "clean-map single-program rate was 123 frames/s)"
             ),
             "baseline": "~20-30 frames/s, reference DSAC* C++ on 12 CPU threads (measured r1)",
             "vs_baseline": round(reg_fps / 25.0, 2),

@@ -325,9 +325,79 @@ def test_two_tier_refit_bit_equal(rng):
 
     # the noisy frame must actually exercise the cap, else this test is vacuous
     assert bool(out_t1["hit_cap"]), "tier-1 cap was not hit; raise noise"
-    out_t2 = jax.device_get(estimate_pose(key, *args, cfg_full))
-    np.testing.assert_array_equal(out_t2["pose_c2w"], out_full["pose_c2w"])
-    assert int(out_t2["inlier_count"]) == int(out_full["inlier_count"])
     # a frame that converged under the short cap already equals the full run
     if not bool(out_full["hit_cap"]):
         assert int(out_full["inlier_count"]) >= int(out_t1["inlier_count"])
+
+
+def test_two_tier_refit_driver_composition(monkeypatch, caplog):
+    """register_frames with the two-tier budget enabled must produce entries
+    bit-equal to a single full-budget pass: tier-1 results are KEPT for
+    frames that converged under the short cap, and capped frames re-run with
+    the full budget and the same per-frame key. Scene-coordinate inference
+    is stubbed with noisy ground-truth maps so the refinement loop has real
+    work (and some frames genuinely hit the tier-1 cap)."""
+    import logging
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synthetic import render_room_scene
+    from test_trainer import _scene_from_synthetic
+
+    from acezero_tpu.data.depth import seed_scene_coordinates
+    from acezero_tpu.registration import driver as drv
+    from acezero_tpu.registration.driver import RegistrationConfig, register_frames
+
+    data = render_room_scene(8, h=96, w=128)
+    scene = _scene_from_synthetic(data)
+    n, h, w = 8, 96 // 8, 128 // 8
+
+    rng = np.random.default_rng(11)
+    maps_scene = np.stack(
+        [
+            seed_scene_coordinates(data["depth"][i], data["focal"], data["poses_c2w"][i])
+            for i in range(n)
+        ]
+    )
+    maps_scene = maps_scene + rng.normal(0, 0.05, maps_scene.shape)
+    outliers = rng.uniform(size=maps_scene.shape[:-1]) < 0.4
+    maps_scene = np.where(
+        outliers[..., None], rng.uniform(-3, 3, maps_scene.shape), maps_scene
+    ).astype(np.float32)
+
+    # root-order copy of the per-frame maps (device_view indexes the root)
+    _, _, root_idx = scene.images.device_view()
+    maps_root = np.zeros_like(maps_scene)
+    maps_root[root_idx] = maps_scene
+
+    maps_dev = jnp.asarray(maps_root)
+    mask_dev = jnp.ones((n, h, w), bool)
+
+    def fake_coords(_enc, _head, _head_cfg, _canv, _sizes, idx, subsample=8):
+        return maps_dev[idx], mask_dev[idx]
+
+    monkeypatch.setattr(drv, "_coords_chunk_from_root", fake_coords)
+
+    from acezero_tpu.models.head import HeadConfig
+
+    head_cfg = HeadConfig(num_head_blocks=0)
+    base = dict(
+        ransac=RansacConfig(hypotheses=8, max_tries=8, refinement_steps=40),
+        frame_chunk=4,
+    )
+    with caplog.at_level(logging.INFO, logger="acezero_tpu.registration.driver"):
+        tiered = register_frames(
+            None, None, head_cfg, scene, RegistrationConfig(**base, refit_tier1=2)
+        )
+    # the tier-2 rerun must actually have fired, else this test is vacuous
+    assert any("Refit tier 2" in r.message for r in caplog.records), (
+        "no frame hit the tier-1 cap; raise noise"
+    )
+    full = register_frames(
+        None, None, head_cfg, scene, RegistrationConfig(**base, refit_tier1=0)
+    )
+    assert len(tiered) == len(full) == n
+    for e_t, e_f in zip(tiered, full):
+        assert e_t.rgb_file == e_f.rgb_file
+        np.testing.assert_array_equal(e_t.pose_w2c, e_f.pose_w2c)
+        assert e_t.confidence == e_f.confidence

@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("rgb_files", type=str)
     parser.add_argument("results_folder", type=Path)
     parser.add_argument("--depth_files", type=str, default=None)
+    parser.add_argument("--calibration_files", type=str, default=None,
+                        help="per-frame focal-length file glob (scalar or 3x3 K;"
+                             " the PGT 7-Scenes layout emits these)")
 
     g = parser.add_argument_group("main loop")
     g.add_argument("--iterations_max", type=int, default=100)
@@ -37,18 +40,31 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--final_refit_posewait", type=int, default=5000)
     g.add_argument("--final_refit_cycles", type=int, default=1,
                    help="extra refit<->register cycles after convergence "
-                        "(drains loop drift on ring captures; 1 = reference)")
+                        "(drains loop drift on ring captures; 1 = reference). "
+                        "After the explicit budget, drift-gated adaptive "
+                        "cycles may still run (capped by "
+                        "--adaptive_refit_max_cycles; pass 0 there to get "
+                        "exactly this many cycles)")
     g.add_argument("--refit_iterations", type=int, default=25000)
     g.add_argument("--loop_closure", type=_strtobool, default=True,
                    help="Sim(3) pose-graph loop closure before refit rounds "
                         "(drains ring/360 drift; beyond-reference)")
     g.add_argument("--loop_closure_max_frames", type=int, default=256)
+    g.add_argument("--loop_closure_probe_frames", type=int, default=32,
+                   help="drift pre-probe subgraph size; quiet probes skip "
+                        "the full loop-closure measurement (0 disables)")
     g.add_argument("--adaptive_refit_max_cycles", type=int, default=3,
                    help="cap on drift-gated extra refit cycles (0 disables)")
     g.add_argument("--registration_confidence", type=int, default=500)
     g.add_argument("--try_seeds", type=int, default=5)
     g.add_argument("--seed_parallel_workers", type=int, default=3)
     g.add_argument("--seed_iterations", type=int, default=10000)
+    g.add_argument("--seed_selection_iterations", type=int, default=2000,
+                   help="score seed maps this early and train only the "
+                        "winner to the full budget (0 = reference schedule)")
+    g.add_argument("--seed_selection_frames", type=int, default=500)
+    g.add_argument("--seed_selection_min_frames", type=int, default=200,
+                   help="selection auto-disables on scenes smaller than this")
     g.add_argument("--seed_network", type=Path, default=None)
     g.add_argument("--warmstart", type=_strtobool, default=True)
     g.add_argument("--export_point_cloud", type=_strtobool, default=False)
@@ -114,6 +130,7 @@ def config_from_args(args: argparse.Namespace) -> AceZeroConfig:
         rgb_files=args.rgb_files,
         results_folder=args.results_folder,
         depth_files=args.depth_files,
+        calibration_files=args.calibration_files,
         iterations_max=args.iterations_max,
         registration_threshold=args.registration_threshold,
         relative_registration_threshold=args.relative_registration_threshold,
@@ -124,10 +141,14 @@ def config_from_args(args: argparse.Namespace) -> AceZeroConfig:
         refit_iterations=args.refit_iterations,
         loop_closure=args.loop_closure,
         loop_closure_max_frames=args.loop_closure_max_frames,
+        loop_closure_probe_frames=args.loop_closure_probe_frames,
         adaptive_refit_max_cycles=args.adaptive_refit_max_cycles,
         registration_confidence=args.registration_confidence,
         try_seeds=args.try_seeds,
         seed_iterations=args.seed_iterations,
+        seed_selection_iterations=args.seed_selection_iterations,
+        seed_selection_frames=args.seed_selection_frames,
+        seed_selection_min_frames=args.seed_selection_min_frames,
         seed_network=args.seed_network,
         warmstart=args.warmstart,
         export_point_cloud=args.export_point_cloud,

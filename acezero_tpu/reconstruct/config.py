@@ -18,6 +18,9 @@ class AceZeroConfig:
     rgb_files: str = ""
     results_folder: Path = Path("results")
     depth_files: str | None = None
+    # per-frame focal-length files (scalar or 3x3 K), alphabetical
+    # correspondence — the PGT 7-Scenes layout emits these
+    calibration_files: str | None = None
 
     # --- main reconstruction loop (ace_zero.py:44-82) ---
     iterations_max: int = 100
@@ -39,6 +42,20 @@ class AceZeroConfig:
     try_seeds: int = 5
     seed_parallel: bool = True  # train all seed maps as one vmapped program
     seed_iterations: int = 10000
+    # early seed selection (beyond-reference speed): score all candidate
+    # seed maps after this many iterations on `seed_selection_frames`
+    # frames and train only the winner to the full budget (reference
+    # trains every seed to 10k then scores on 1000 frames,
+    # ace_zero.py:179-211 + ace_zero_util.py:255). 0 restores the
+    # reference schedule.
+    seed_selection_iterations: int = 2000
+    seed_selection_frames: int = 500
+    # selection only pays off at scale: below this many frames the full
+    # seed schedule costs ~1 min total, while cutting the winner's training
+    # trajectory measurably perturbs chaotic small-ring reconstructions
+    # (measured round 4: chesslike_a 63->18% @5cm/5deg from the numerics of
+    # the continuation path alone, trajectory bit-identical once disabled)
+    seed_selection_min_frames: int = 200
     seed_network: Path | None = None
     warmstart: bool = True
     export_point_cloud: bool = False
@@ -104,6 +121,13 @@ class AceZeroConfig:
     # frames; no-ops gracefully when the graph is degenerate.
     loop_closure: bool = True
     loop_closure_max_frames: int = 256  # graph-size cap (memory bound)
+    # drift pre-probe: measure drift on this many evenly-strided frames
+    # first and skip the full loop-closure measurement when quiet (saves
+    # ~1 min/call on drift-free forward scans at chess scale). 0 disables
+    # the probe; probing also auto-disables when the capture has fewer than
+    # 2x this many confident frames (the probe would cost as much as the
+    # full measurement).
+    loop_closure_probe_frames: int = 32
     # adaptive drift drain: extra refit<->register cycles keep running while
     # loop closure measures corrections above its convergence gate
     # (pipeline._drift_detected) — ring captures trigger 2-3 cycles, forward
@@ -114,6 +138,10 @@ class AceZeroConfig:
     adaptive_refit_max_cycles: int = 3
 
     # internal knobs (not in the reference surface)
+    # training-scan chunk length (steps per jitted program call); part of
+    # the compiled program shape, so keep it constant across rounds. Tiny
+    # CPU test configs lower it to avoid paying masked inactive steps.
+    chunk_steps: int = 500
     # device-mesh size: 0 = all visible devices, 1 = single device (no mesh),
     # N>1 = 1-D 'data' mesh over the first N devices (SURVEY.md §2.3)
     num_devices: int = 0

@@ -79,12 +79,15 @@ class AceZeroPipeline:
         else:
             self.mesh = None
 
-        use_heuristic = cfg.use_external_focal_length < 0
+        use_heuristic = cfg.use_external_focal_length < 0 and cfg.calibration_files is None
         self.scene = load_scene(
             cfg.rgb_files,
             image_short_size=cfg.image_resolution,
             use_heuristic_focal_length=use_heuristic,
-            external_focal_length=(None if use_heuristic else cfg.use_external_focal_length),
+            external_focal_length=(
+                cfg.use_external_focal_length if cfg.use_external_focal_length >= 0 else None
+            ),
+            calibration_files=cfg.calibration_files,
             num_workers=cfg.num_decode_workers,
         )
         _logger.info(
@@ -210,6 +213,7 @@ class AceZeroPipeline:
             use_depth=use_depth,
             buffer_host_spill=cfg.training_buffer_cpu,
             iterations_output=cfg.iterations_output,
+            chunk_steps=cfg.chunk_steps,
         )
 
     def _refit_train_cfg(self) -> TrainConfig:
@@ -235,6 +239,7 @@ class AceZeroPipeline:
             use_depth=False,
             buffer_host_spill=cfg.training_buffer_cpu,
             iterations_output=cfg.iterations_output,
+            chunk_steps=cfg.chunk_steps,
         )
 
     def _registration_cfg(self, max_estimates: int = -1) -> RegistrationConfig:
@@ -312,6 +317,33 @@ class AceZeroPipeline:
         _logger.info("Seed %d registered %.1f%% of frames.", seed_idx, rate * 100)
         return head_params, rate, iteration_id
 
+    def _build_seed_trainers(
+        self, frames, train_cfg, key, buffers, ctxs, states, trainers
+    ) -> None:
+        """Per-seed MappingTrainer + buffer + state construction (the ONE
+        construction path shared with _map_seed; only the train loop itself
+        is replaced by the vmapped chunk program)."""
+        cfg = self.cfg
+        for si, frame in enumerate(frames):
+            seed_scene = self.scene.subset(np.asarray([frame]))
+            seed_scene.poses_c2w = np.eye(4, dtype=np.float32)[None]
+            seed_scene.pose_valid = np.ones(1, bool)
+            seed_scene.depth_maps[0] = self._seed_depth_canvas(frame)
+
+            trainer = MappingTrainer(
+                seed_scene,
+                self.encoder_params,
+                self.head_cfg,
+                train_cfg,
+                self._buffer_cfg(),
+                base_seed=cfg.base_seed + si,
+            )
+            key, k_fill, k_train = jax.random.split(key, 3)
+            buffers.append(trainer.build_buffer(k_fill, shard=False))
+            states.append(trainer.build_state(k_train, replicate_on_mesh=False))
+            ctxs.append(trainer.ctx)
+            trainers.append(trainer)
+
     def _map_seeds_parallel(self, seeds: np.ndarray) -> list[tuple[dict, float, str]]:
         """Train all candidate seed maps simultaneously (one vmapped program).
 
@@ -337,29 +369,13 @@ class AceZeroPipeline:
         key = jax.random.PRNGKey(cfg.base_seed)
         buffers, ctxs, states = [], [], []
         trainers = []
-        for si, frame in enumerate(frames):
+        with stage("seed_buffer_fill"):
+            self._build_seed_trainers(
+                frames, train_cfg, key, buffers, ctxs, states, trainers
+            )
             # ONE construction path with _map_seed / the main loop: a
             # MappingTrainer per seed builds its buffer + state; only the
             # train loop itself is replaced by the vmapped chunk program
-            seed_scene = self.scene.subset(np.asarray([frame]))
-            seed_scene.poses_c2w = np.eye(4, dtype=np.float32)[None]
-            seed_scene.pose_valid = np.ones(1, bool)
-            seed_scene.depth_maps[0] = self._seed_depth_canvas(frame)
-
-            trainer = MappingTrainer(
-                seed_scene,
-                self.encoder_params,
-                self.head_cfg,
-                train_cfg,
-                self._buffer_cfg(),
-                base_seed=cfg.base_seed + si,
-            )
-            key, k_fill, k_train = jax.random.split(key, 3)
-            buffers.append(trainer.build_buffer(k_fill, shard=False))
-            states.append(trainer.build_state(k_train, replicate_on_mesh=False))
-            ctxs.append(trainer.ctx)
-            trainers.append(trainer)
-
         stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
         state_s = stack(states)
         buffer_s = stack(buffers)
@@ -385,14 +401,34 @@ class AceZeroPipeline:
 
         import time as _time
 
+        from acezero_tpu.registration.driver import register_frames_multi
+        from acezero_tpu.training.trainer import _train_chunk
+
+        # Early seed selection (beats the reference's budget,
+        # ace_zero.py:179-211, which trains every seed to the full 10k):
+        # train the S-seed stack only to `seed_selection_iterations`, score
+        # all maps on a small frame subsample with one shared encoder pass,
+        # then continue ONLY the winner to its full (possibly cooldown-
+        # early-stopped) budget on the single-map program. Lane-FLOPs drop
+        # from S*full to S*sel + 1*(full-sel); the loser heads keep their
+        # selection-time state in the `iteration0_seedN.pt` artifacts.
+        sel_iters = cfg.seed_selection_iterations
+        do_select = (
+            0 < sel_iters < cfg.seed_iterations
+            and S > 1
+            and len(self.scene) >= cfg.seed_selection_min_frames
+        )
+
         t0 = _time.time()
-        while True:
-            state_s, _ = _train_chunk_vmapped(
-                state_s, buffer_s, ctx_s, train_cfg, self.head_cfg, train_cfg.chunk_steps
-            )
-            iters = np.asarray(state_s.iteration)
-            if (iters >= np.asarray(state_s.sched.max_iterations)).all():
-                break
+        with stage("seed_training"):
+            while True:
+                iters = np.asarray(state_s.iteration)
+                done = (iters >= np.asarray(state_s.sched.max_iterations)).all()
+                if done or (do_select and iters.min() >= sel_iters):
+                    break
+                state_s, _ = _train_chunk_vmapped(
+                    state_s, buffer_s, ctx_s, train_cfg, self.head_cfg, train_cfg.chunk_steps
+                )
         _logger.info(
             "Trained %d seed maps in parallel: iterations %s in %.1fs",
             S, iters.tolist(), _time.time() - t0,
@@ -400,17 +436,46 @@ class AceZeroPipeline:
 
         # fast scoring: all seed maps registered per chunk with one shared
         # encoder pass (register_frames_multi)
-        from acezero_tpu.registration.driver import register_frames_multi
-
+        max_est = cfg.seed_selection_frames if do_select else 1000
         head_list = [jax.tree.map(lambda x: x[si], state_s.head_params) for si in range(S)]
-        all_entries = register_frames_multi(
-            self.encoder_params,
-            head_list,
-            self.head_cfg,
-            self.scene,
-            self._registration_cfg(max_estimates=1000),
-            mesh=self.mesh,
-        )
+        with stage("seed_scoring"):
+            all_entries = register_frames_multi(
+                self.encoder_params,
+                head_list,
+                self.head_cfg,
+                self.scene,
+                self._registration_cfg(max_estimates=max_est),
+                mesh=self.mesh,
+            )
+        rates = [
+            registration_rates(
+                [e.confidence for e in entries], [cfg.registration_confidence]
+            )[0]
+            for entries in all_entries
+        ]
+
+        if do_select:
+            best = int(np.argmax(rates))
+            _logger.info(
+                "Seed selection at %d iters on %d frames: rates %s -> seed %d; "
+                "continuing only the winner.",
+                sel_iters, max_est, [f"{r:.3f}" for r in rates], best,
+            )
+            state_b = jax.tree.map(lambda x: x[best], state_s)
+            buffer_b = jax.tree.map(lambda x: x[best], buffer_s)
+            ctx_b = jax.tree.map(lambda x: x[best], ctx_s)
+            t1 = _time.time()
+            with stage("seed_training"):
+                while int(state_b.iteration) < int(state_b.sched.max_iterations):
+                    state_b, _ = _train_chunk(
+                        state_b, buffer_b, ctx_b, train_cfg, self.head_cfg,
+                        train_cfg.chunk_steps,
+                    )
+            _logger.info(
+                "Winner seed %d trained to %d iterations in %.1fs.",
+                best, int(state_b.iteration), _time.time() - t1,
+            )
+            head_list[best] = state_b.head_params
 
         results = []
         for si in range(S):
@@ -420,11 +485,8 @@ class AceZeroPipeline:
             )
             entries = all_entries[si]
             write_pose_file(self.out / f"poses_{iteration_id}_fastcheck.txt", entries)
-            rate = registration_rates(
-                [e.confidence for e in entries], [cfg.registration_confidence]
-            )[0]
-            _logger.info("Seed %d registered %.1f%% of frames.", si, rate * 100)
-            results.append((head_list[si], rate, iteration_id))
+            _logger.info("Seed %d registered %.1f%% of frames.", si, rates[si] * 100)
+            results.append((head_list[si], rates[si], iteration_id))
         return results
 
     # ----------------------------------------------------------------- run
@@ -460,6 +522,41 @@ class AceZeroPipeline:
         if not self.cfg.loop_closure:
             return entries, {"skipped": "disabled"}
         from acezero_tpu.reconstruct.loopclose import loop_close_entries
+
+        # Cheap drift pre-probe: the full measurement costs ~2400-frame
+        # captures ~1 min/call even when the capture is drift-free (forward
+        # scans report millimetre corrections and never trigger a cycle).
+        # A small evenly-strided subgraph measures the same low-frequency
+        # drift signal at a fraction of the cost; only when it trips the
+        # drift gate does the full-graph measurement (whose corrections are
+        # actually applied) run.
+        probe_n = self.cfg.loop_closure_probe_frames
+        n_conf = sum(
+            e.confidence >= self.cfg.registration_confidence for e in entries
+        )
+        if 0 < probe_n * 2 <= n_conf:
+            with stage("loop_closure_probe", trace=True):
+                _, probe_diag = loop_close_entries(
+                    self.encoder_params,
+                    head_params,
+                    self.head_cfg,
+                    self.scene,
+                    entries,
+                    conf_threshold=self.cfg.registration_confidence,
+                    focal_override_orig=focal_estimate,
+                    max_frames=probe_n,
+                )
+            # an inconclusive probe ("skipped" set: degenerate subgraph)
+            # falls through to the full measurement
+            if "skipped" not in probe_diag and not self._drift_detected(probe_diag):
+                _logger.info(
+                    "Loop-closure probe: no drift (median %.2f cm / %.3f deg) "
+                    "— skipping the full measurement.",
+                    probe_diag.get("median_corr_t", 0.0) * 100,
+                    probe_diag.get("median_corr_rot_deg", 0.0),
+                )
+                probe_diag["skipped"] = "probe_no_drift"
+                return entries, probe_diag
 
         with stage("loop_closure", trace=True):
             corrected, diag = loop_close_entries(

@@ -22,12 +22,13 @@ def enable_compilation_cache() -> None:
     if target == "0":
         return
     if not target:
-        # prefer the pre-seeded in-repo cache when present: the repo ships
-        # compiled programs for the recipe shapes (480x640 canvas, batch
-        # 5120, default head), which cuts the cold-start compile wall (~12
-        # min measured in round 2) to a warm start on identical
-        # hardware/jaxlib. Cache keys include backend + jaxlib versions, so
-        # a mismatched environment simply misses and recompiles.
+        # prefer the repo-local cache directory when present: once populated
+        # on a machine (first run pays the ~12-min cold compile wall,
+        # measured round 2), later runs on the same hardware/jaxlib reuse
+        # the compiled programs for the recipe shapes (480x640 canvas,
+        # batch 5120, default head). The directory is gitignored, so fresh
+        # clones start cold. Cache keys include backend + jaxlib versions,
+        # so a mismatched environment simply misses and recompiles.
         repo_cache = Path(__file__).resolve().parents[2] / ".xla_cache"
         if repo_cache.is_dir() and os.access(repo_cache, os.W_OK):
             target = str(repo_cache)

@@ -29,6 +29,69 @@ def scene_dir(tmp_path_factory):
     return out, data
 
 
+def test_mini_reconstruction_loop(scene_dir, tmp_path):
+    """Trimmed end-to-end loop for the default (fast) marker set: one seed,
+    tiny budgets, loop closure off — still asserts the load-bearing
+    invariants of the full e2e (mesh GSPMD sharding, artifact emission,
+    byte-compatible pose-file format, checkpoint round trip). The thorough
+    variant below stays under `slow`."""
+    scene_path, data = scene_dir
+    cfg = AceZeroConfig(
+        rgb_files=str(scene_path / "*.png"),
+        results_folder=tmp_path / "out_mini",
+        depth_files=str(scene_path / "*_depth.npy"),
+        use_external_focal_length=data["focal"],
+        try_seeds=1,
+        seed_iterations=40,
+        iterations=60,
+        iterations_max=2,
+        learning_rate_schedule="constant",
+        learning_rate_min=0.003,
+        max_training_buffer_size=4096,
+        samples_per_image=256,
+        max_dataset_passes=2,
+        batch_size=256,
+        chunk_steps=20,
+        num_head_blocks=0,
+        ransac_iterations=8,
+        registration_confidence=5,
+        registration_frame_chunk=8,
+        refinement_steps=2,
+        final_refine=False,
+        final_refit=False,
+        loop_closure=False,
+    )
+    pipeline = AceZeroPipeline(cfg)
+
+    import jax
+
+    assert pipeline.mesh is not None
+    assert pipeline.mesh.devices.size == len(jax.devices()) == 8
+
+    result = pipeline.run()
+
+    # GSPMD actually ran: the trained head came out of mesh-sharded programs
+    from jax.sharding import NamedSharding
+
+    leaf = jax.tree.leaves(result["head_params"])[0]
+    assert isinstance(leaf.sharding, NamedSharding)
+    assert leaf.sharding.mesh.devices.size == 8
+
+    out = tmp_path / "out_mini"
+    assert (out / "iteration0_seed0.pt").exists()
+    assert (out / "poses_final.txt").exists()
+    entries = read_pose_file(out / "poses_final.txt")
+    assert len(entries) == 10
+    line = (out / "poses_final.txt").read_text().splitlines()[0]
+    assert len(line.split()) == 10
+
+    from acezero_tpu.models import torch_io
+
+    head_cfg, _ = torch_io.load_head(out / "iteration1.pt")
+    assert head_cfg.num_head_blocks == 0
+    assert len(result["registration_rates"]) == 4
+
+
 @pytest.mark.slow
 def test_full_reconstruction_loop(scene_dir, tmp_path):
     scene_path, data = scene_dir
@@ -135,3 +198,51 @@ def test_pipeline_depth_fallbacks(scene_dir, tmp_path):
     pipeline2 = AceZeroPipeline(cfg2)
     with pytest.raises(ValueError, match="depth"):
         pipeline2._seed_depth_canvas(0)
+
+
+@pytest.mark.slow
+def test_seed_early_selection(scene_dir, tmp_path):
+    """The early-selection seed stage: all seeds train to the selection
+    horizon, scoring happens on a frame subsample, and only the winner
+    continues to the full budget (pipeline._map_seeds_parallel)."""
+    scene_path, data = scene_dir
+    cfg = AceZeroConfig(
+        rgb_files=str(scene_path / "*.png"),
+        results_folder=tmp_path / "out_sel",
+        depth_files=str(scene_path / "*_depth.npy"),
+        use_external_focal_length=data["focal"],
+        try_seeds=2,
+        seed_iterations=120,
+        seed_selection_iterations=40,
+        seed_selection_frames=6,
+        learning_rate_schedule="constant",
+        learning_rate_min=0.003,
+        max_training_buffer_size=4096,
+        samples_per_image=256,
+        max_dataset_passes=2,
+        batch_size=256,
+        chunk_steps=20,
+        num_head_blocks=0,
+        ransac_iterations=8,
+        registration_confidence=5,
+        registration_frame_chunk=8,
+        refinement_steps=2,
+    )
+    pipeline = AceZeroPipeline(cfg)
+    np.random.seed(cfg.random_seed)
+    seeds = np.random.uniform(size=cfg.try_seeds)
+    results = pipeline._map_seeds_parallel(seeds)
+    assert len(results) == 2
+    # artifacts for every candidate + fastcheck pose files on the subsample
+    out = tmp_path / "out_sel"
+    for si in range(2):
+        assert (out / f"iteration0_seed{si}.pt").exists()
+        entries = read_pose_file(out / f"poses_iteration0_seed{si}_fastcheck.txt")
+        assert len(entries) == 6  # selection subsample, not the full scene
+    # the winner's head must differ from the loser's (it trained 3x longer)
+    import jax
+
+    best = int(np.argmax([r[1] for r in results]))
+    h_best = jax.tree.leaves(results[best][0])[0]
+    h_other = jax.tree.leaves(results[1 - best][0])[0]
+    assert not np.allclose(np.asarray(h_best), np.asarray(h_other))

@@ -43,6 +43,7 @@ import numpy as np
 
 from acezero_tpu.geometry.rotations import rodrigues_to_matrix as _rodrigues
 from acezero_tpu.utils.precision import f32_matmul
+from acezero_tpu.utils.profiling import stage
 
 _logger = logging.getLogger(__name__)
 
@@ -74,18 +75,30 @@ class LoopCloseConfig:
     pair_chunk: int = 64  # pairs per device program (memory bound)
     # track bundle adjustment over the matcher's pixel correspondences,
     # applied after the Sim(3) graph correction (reconstruct/ba.py).
-    # Default OFF: measured end-to-end on a held-out 60-view ring, the BA
-    # polish lowers final accuracy (67% -> 47% @5cm/5deg) — the matcher's
-    # ~2 px noise shares the encoder's systematic bias with the map, so at
-    # production noise the BA moves poses toward match-consistency, not
-    # ground truth, while the bend modes it exists to fix carry only
-    # sub-0.01 px of signal at this FOV (see ba.py docstring: a perfect
-    # orbital ring is near-critical). Kept as an opt-in component: on
-    # irregular captures with long-range co-visibility it recovers the
-    # observable drift component exactly (tests/test_ba.py).
-    ba: bool = False
+    # Modes:
+    #   "off"    — never run BA.
+    #   "raw"    — BA on the matcher's raw stride-8 correspondences.
+    #              Measured end-to-end on a held-out 60-view ring this
+    #              HURTS (67% -> 47% @5cm/5deg): the matcher's ~2 px noise
+    #              shares the encoder's systematic bias with the map, so at
+    #              production noise the BA moves poses toward
+    #              match-consistency, not ground truth, while the bend
+    #              modes it exists to fix carry only sub-0.01 px of signal
+    #              at stride-8 (see ba.py docstring). Kept for experiments.
+    #   "subpix" — refine each match to a full-resolution photometric
+    #              correspondence first (reconstruct/subpix.py: warped-patch
+    #              Gauss-Newton, ~0.1-0.3 px) and run BA only on accepted
+    #              refined matches. Photometric alignment does not share
+    #              the encoder's feature bias, which removes the "raw"
+    #              failure mode; the round-3 observability analysis says
+    #              these are exactly the measurements that make ring bends
+    #              observable.
+    ba: str = "subpix"
     ba_iterations: int = 30
     ba_max_obs: int = 6
+    # minimum accepted refined matches for the subpix BA to run (below
+    # this the bend is under-constrained and BA would chase patch noise)
+    subpix_min_matches: int = 300
 
 
 # --------------------------------------------------------------------- JAX
@@ -136,7 +149,7 @@ def _sheet_normals(X, V, cam_c, win: int = 5, ratio: float = 10.0):
     return n, ok
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "subsample"))
 @f32_matmul
 def pairwise_sim3(
     src_pts,  # (E, P, 3) world points of source frames (subsampled cells)
@@ -840,6 +853,7 @@ def loop_close_core(
             jnp.asarray(H / 2.0, jnp.float32),
             jnp.asarray(sigma_floor, jnp.float32),
             cfg,
+            subsample=sub,
         )
         res = jax.device_get(res)
         keep = slice(0, len(pc) - pad)
@@ -935,9 +949,11 @@ def loop_close_core(
         t_all[non_graph] = t_all[nearest]
 
     # matcher pixel correspondences for the BA stage: source pixels are the
-    # strided source-cell centers (identical grid for every source frame)
-    ii = np.arange(0, h, step) * 8 + 4.0
-    jj = np.arange(0, w, step) * 8 + 4.0
+    # strided source-cell centers (identical grid for every source frame).
+    # `sub` is the same cell pitch pairwise_sim3 uses for u_tgt — the BA's
+    # source and target pixel observations must share it.
+    ii = np.arange(0, h, step) * sub + sub / 2.0
+    jj = np.arange(0, w, step) * sub + sub / 2.0
     u_src = np.stack(
         [np.tile(jj, len(ii)), np.repeat(ii, len(jj))], -1
     ).astype(np.float32)  # (P, 2) row-major like the ::step reshape
@@ -957,6 +973,8 @@ def loop_close_core(
             "u_src": u_src,
             "u_tgt": m_u_tgt[good],
             "ok": np.asarray(m_okm[good]),
+            # per-frame map validity (the subpix prewarp needs it)
+            "valid": vv,
         },
         **{f"graph_{k}": v for k, v in gdiag.items()},
     }
@@ -1081,7 +1099,43 @@ def loop_close_entries(
     # corrections cannot express. Non-graph frames inherit the nearest
     # graph frame's rigid delta; registration re-estimates them anyway.
     ba_data = diag.pop("ba_data", None)
-    if cfg.ba and ba_data is not None and len(ba_data["pairs"]) >= 2:
+    run_ba = (
+        cfg.ba in ("raw", "subpix")
+        and ba_data is not None
+        and len(ba_data["pairs"]) >= 2
+    )
+    if run_ba and cfg.ba == "subpix":
+        # upgrade the stride-8 matches to full-resolution photometric
+        # correspondences; BA consumes ONLY accepted refined matches (the
+        # raw ones carry the encoder's systematic bias — see cfg.ba)
+        from acezero_tpu.reconstruct.subpix import refine_matches_photometric
+
+        with stage("loop_closure_subpix"):
+            u_ref, ok_ref, sp_diag = refine_matches_photometric(
+                scene.images.canvases[sub],
+                coords,
+                ba_data["valid"],
+                w2c_scene[sub],
+                focals_canvas[sub],
+                (H, W),
+                ba_data["pairs"],
+                ba_data["u_src"],
+                ba_data["u_tgt"],
+                ba_data["ok"],
+            )
+        diag["subpix"] = sp_diag
+        _logger.info(
+            "Sub-pixel refinement: %d/%d matches accepted "
+            "(median zncc %.3f, median shift %.2f px)",
+            sp_diag["n_accepted"], sp_diag["n_selected"],
+            sp_diag["median_zncc"], sp_diag["median_shift_px"],
+        )
+        if sp_diag["n_accepted"] >= cfg.subpix_min_matches:
+            ba_data["u_tgt"], ba_data["ok"] = u_ref, ok_ref
+        else:
+            run_ba = False
+            diag["ba"] = {"skipped": "too_few_refined_matches"}
+    if run_ba:
         from acezero_tpu.reconstruct.ba import refine_poses_ba
 
         w2c_sub_corr = np.linalg.inv(c2w_corr[sub])

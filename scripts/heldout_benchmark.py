@@ -85,7 +85,7 @@ def make_scene_dir(base: Path, name: str, kwargs: dict, views: int, h: int, w: i
 
 
 def run_one(scene_dir: Path, out_dir: Path, encoder_path: Path, run_seed: int,
-            use_depth_files: bool) -> dict:
+            use_depth_files: bool, unknown_focal: bool = False) -> dict:
     from acezero_tpu.evalpose import evaluate_poses
     from acezero_tpu.io.pose_files import load_pose_files_glob, read_pose_file
     from acezero_tpu.reconstruct import AceZeroConfig, AceZeroPipeline
@@ -95,7 +95,10 @@ def run_one(scene_dir: Path, out_dir: Path, encoder_path: Path, run_seed: int,
         rgb_files=str(scene_dir / "*.png"),
         results_folder=out_dir,
         depth_files=str(scene_dir / "*_depth.npy") if use_depth_files else None,
-        use_external_focal_length=focal,
+        # unknown-focal mode exercises the reference's Mip-360 path: the
+        # heuristic 70%-diagonal init + per-round gradient refinement
+        # (/root/reference/ace_zero.py:296-305, refine_calibration.py:21-53)
+        use_external_focal_length=-1.0 if unknown_focal else focal,
         encoder_path=encoder_path,
         random_seed=run_seed,
         base_seed=run_seed + 784,
@@ -108,7 +111,12 @@ def run_one(scene_dir: Path, out_dir: Path, encoder_path: Path, run_seed: int,
     entries = read_pose_file(out_dir / "poses_final.txt")
     gt = load_pose_files_glob(str(scene_dir / "*_pose.txt"))
     errors = evaluate_poses(entries, gt, alignment_conf_threshold=500)
+    extra = {}
+    if unknown_focal:
+        f_est = float(np.median([e.focal_length for e in entries]))
+        extra = {"focal_est": f_est, "focal_rel_err": abs(f_est - focal) / focal}
     return {
+        **extra,
         "acc_5cm5deg": errors.accuracy,  # percent
         "median_rot_deg": errors.median_rot_deg,
         "median_t_cm": errors.median_trans_cm,
@@ -129,6 +137,9 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--scenes", type=str, default=None, help="comma list to subset")
+    p.add_argument("--unknown_focal", action="store_true",
+                   help="withhold the GT focal: heuristic 70%%-diagonal init + "
+                        "gradient calibration refinement (the Mip-360 path)")
     p.add_argument("--learned_depth", action="store_true",
                    help="use the learned seed-depth estimator instead of depth files")
     args = p.parse_args(argv)
@@ -156,6 +167,7 @@ def main(argv=None) -> int:
         "encoder": Path(args.encoder_path).name,
         "git_sha": sha,
         "depth": "learned" if args.learned_depth else "files",
+        "focal": "unknown" if args.unknown_focal else "known",
     }
 
     for name, kwargs in SCENES:
@@ -168,7 +180,8 @@ def main(argv=None) -> int:
             try:
                 rec.update(
                     run_one(scene_dir, run_dir, args.encoder_path, 1305 + 17 * r,
-                            use_depth_files=not args.learned_depth)
+                            use_depth_files=not args.learned_depth,
+                            unknown_focal=args.unknown_focal)
                 )
             except Exception as exc:  # noqa: BLE001
                 rec["error"] = repr(exc)
@@ -197,20 +210,20 @@ def write_summary(out_dir: Path) -> str:
         if "acc_5cm5deg" not in rec:
             continue
         key = (rec["scene"], rec.get("encoder", "?"), rec.get("git_sha", "?"),
-               rec.get("depth", "files"))
+               rec.get("depth", "files"), rec.get("focal", "known"))
         by_key.setdefault(key, []).append(rec["acc_5cm5deg"])
     lines = [
-        "| scene | encoder | sha | depth | runs | acc@5cm/5deg (min / median / max) |",
-        "|---|---|---|---|---|---|",
+        "| scene | encoder | sha | depth | focal | runs | acc@5cm/5deg (min / median / max) |",
+        "|---|---|---|---|---|---|---|",
     ]
     def order(key):
         scene = key[0]
         return (scene_order.index(scene) if scene in scene_order else 99, key)
     for key in sorted(by_key, key=order):
         accs = sorted(by_key[key])
-        scene, enc, sha_k, depth = key
+        scene, enc, sha_k, depth, focal_mode = key
         lines.append(
-            f"| {scene} | {enc} | {sha_k} | {depth} | {len(accs)} | "
+            f"| {scene} | {enc} | {sha_k} | {depth} | {focal_mode} | {len(accs)} | "
             f"{accs[0]:.1f}% / {accs[len(accs)//2]:.1f}% / {accs[-1]:.1f}% |"
         )
     summary = "\n".join(lines)

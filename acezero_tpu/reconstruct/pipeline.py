@@ -80,16 +80,19 @@ class AceZeroPipeline:
             self.mesh = None
 
         use_heuristic = cfg.use_external_focal_length < 0 and cfg.calibration_files is None
-        self.scene = load_scene(
-            cfg.rgb_files,
-            image_short_size=cfg.image_resolution,
-            use_heuristic_focal_length=use_heuristic,
-            external_focal_length=(
-                cfg.use_external_focal_length if cfg.use_external_focal_length >= 0 else None
-            ),
-            calibration_files=cfg.calibration_files,
-            num_workers=cfg.num_decode_workers,
-        )
+        with stage("scene_load"):
+            self.scene = load_scene(
+                cfg.rgb_files,
+                image_short_size=cfg.image_resolution,
+                use_heuristic_focal_length=use_heuristic,
+                external_focal_length=(
+                    cfg.use_external_focal_length
+                    if cfg.use_external_focal_length >= 0
+                    else None
+                ),
+                calibration_files=cfg.calibration_files,
+                num_workers=cfg.num_decode_workers,
+            )
         _logger.info(
             "Loaded %d images onto a %dx%d canvas.", len(self.scene), *self.scene.canvas_hw
         )
@@ -438,13 +441,28 @@ class AceZeroPipeline:
         # encoder pass (register_frames_multi)
         max_est = cfg.seed_selection_frames if do_select else 1000
         head_list = [jax.tree.map(lambda x: x[si], state_s.head_params) for si in range(S)]
+        score_cfg = self._registration_cfg(max_estimates=max_est)
+        if do_select:
+            # scoring only needs to RANK the seed maps: a hard 24-step
+            # refineHyp cap (no tier-2 rerun) lowers every map's inlier
+            # counts by the same mechanism and preserves the ranking, at a
+            # fraction of the full budget's worst-lane cost. The winner's
+            # frames are re-registered with the production budget right
+            # after selection anyway.
+            from dataclasses import replace as _replace
+
+            score_cfg = _replace(
+                score_cfg,
+                ransac=_replace(score_cfg.ransac, refinement_steps=24),
+                refit_tier1=0,
+            )
         with stage("seed_scoring"):
             all_entries = register_frames_multi(
                 self.encoder_params,
                 head_list,
                 self.head_cfg,
                 self.scene,
-                self._registration_cfg(max_estimates=max_est),
+                score_cfg,
                 mesh=self.mesh,
             )
         rates = [
@@ -535,6 +553,10 @@ class AceZeroPipeline:
             e.confidence >= self.cfg.registration_confidence for e in entries
         )
         if 0 < probe_n * 2 <= n_conf:
+            from dataclasses import replace as _replace
+
+            from acezero_tpu.reconstruct.loopclose import LoopCloseConfig
+
             with stage("loop_closure_probe", trace=True):
                 _, probe_diag = loop_close_entries(
                     self.encoder_params,
@@ -544,6 +566,9 @@ class AceZeroPipeline:
                     entries,
                     conf_threshold=self.cfg.registration_confidence,
                     focal_override_orig=focal_estimate,
+                    # pure drift measurement: the BA polish only matters on
+                    # the full graph whose corrections get applied
+                    cfg=_replace(LoopCloseConfig(), ba="off"),
                     max_frames=probe_n,
                 )
             # an inconclusive probe ("skipped" set: degenerate subgraph)

@@ -197,50 +197,80 @@ def pose_ba_core(
     px = px.reshape(C, chunk, O, 2)
     okb = okb.reshape(C, chunk, O)
 
-    def body(state, _):
-        R, t = state
+    def _track_geometry(R, t, fc, uc, oc):
+        """Triangulated landmark + residuals/weights for one track chunk."""
+        Rc = R[fc]  # (c, O, 3, 3)
+        tc = t[fc]  # (c, O, 3)
+        f = focals[fc]  # (c, O)
+        cc = -jnp.einsum("coij,coi->coj", Rc, tc)  # camera centers
+
+        d = jnp.stack(
+            [
+                (uc[..., 0] - ppx) / f,
+                (uc[..., 1] - ppy) / f,
+                jnp.ones_like(f),
+            ],
+            -1,
+        )
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        dw = jnp.einsum("coji,coj->coi", Rc, d)  # world-frame bearings
+
+        of = oc.astype(jnp.float32)
+        # least-squares ray intersection: sum w (I - d d^T)(X - c) = 0
+        Pm = jnp.broadcast_to(jnp.eye(3), dw.shape[:-1] + (3, 3)) - (
+            dw[..., :, None] * dw[..., None, :]
+        )
+        Pm = Pm * of[..., None, None]
+        A = jnp.sum(Pm, axis=1)  # (c, 3, 3)
+        b = jnp.einsum("coij,coj->ci", Pm, cc)
+        A = A + 1e-5 * jnp.broadcast_to(jnp.eye(3), A.shape)
+        X = jnp.linalg.solve(A, b[..., None])[..., 0]  # (c, 3)
+
+        pc = jnp.einsum("coij,cj->coi", Rc, X) + tc
+        z = pc[..., 2]
+        z_ok = z > 1e-2
+        zs = jnp.maximum(z, 1e-2)
+        inv_z = 1.0 / zs
+        pr = jnp.stack(
+            [f * pc[..., 0] * inv_z + ppx, f * pc[..., 1] * inv_z + ppy], -1
+        )
+        res = pr - uc  # (c, O, 2)
+        r2 = jnp.sum(res * res, -1)
+        valid = of * z_ok
+        return Rc, f, pc, inv_z, res, r2, valid, X, tc
+
+    h2 = huber_px * huber_px
+
+    def _prior_cost(R, t):
+        pw = _rotlog(jnp.einsum("nij,nkj->nik", R, R0))
+        pv = t - t0
+        return 0.5 * (
+            prior_rot * jnp.sum(pw * pw) + prior_t * jnp.sum(pv * pv)
+        )
+
+    def _cost_pass(R, t):
+        """Robust (Cauchy) data cost — the objective the LM acceptance
+        tests. The per-residual weight w = 1/(1 + r2/h2) used in the normal
+        equations is exactly the IRLS weight of rho = (h2/2) ln(1 + r2/h2)."""
+
+        def chunk_cost(acc, inp):
+            fc, uc, oc = inp
+            _, _, _, _, _, r2, valid, _, _ = _track_geometry(R, t, fc, uc, oc)
+            return acc + jnp.sum(valid * 0.5 * h2 * jnp.log1p(r2 / h2)), None
+
+        cost, _ = jax.lax.scan(chunk_cost, jnp.asarray(0.0), (fidx, px, okb))
+        return cost + _prior_cost(R, t)
+
+    def _hg_pass(R, t):
+        """Normal equations (landmarks Schur-eliminated) + robust cost."""
 
         def chunk_hg(carry, inp):
-            H, g, wsum, rsum = carry
+            H, g, wsum, rsum, cost = carry
             fc, uc, oc = inp  # (chunk, O) ...
-            Rc = R[fc]  # (c, O, 3, 3)
-            tc = t[fc]  # (c, O, 3)
-            f = focals[fc]  # (c, O)
-            cc = -jnp.einsum("coij,coi->coj", Rc, tc)  # camera centers
-
-            d = jnp.stack(
-                [
-                    (uc[..., 0] - ppx) / f,
-                    (uc[..., 1] - ppy) / f,
-                    jnp.ones_like(f),
-                ],
-                -1,
+            Rc, f, pc, inv_z, res, r2, valid, X, tc = _track_geometry(
+                R, t, fc, uc, oc
             )
-            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-            dw = jnp.einsum("coji,coj->coi", Rc, d)  # world-frame bearings
-
-            of = oc.astype(jnp.float32)
-            # least-squares ray intersection: sum w (I - d d^T)(X - c) = 0
-            Pm = jnp.broadcast_to(jnp.eye(3), dw.shape[:-1] + (3, 3)) - (
-                dw[..., :, None] * dw[..., None, :]
-            )
-            Pm = Pm * of[..., None, None]
-            A = jnp.sum(Pm, axis=1)  # (c, 3, 3)
-            b = jnp.einsum("coij,coj->ci", Pm, cc)
-            A = A + 1e-5 * jnp.broadcast_to(jnp.eye(3), A.shape)
-            X = jnp.linalg.solve(A, b[..., None])[..., 0]  # (c, 3)
-
-            # residuals + Jacobians per observation
-            pc = jnp.einsum("coij,cj->coi", Rc, X) + tc
-            z = pc[..., 2]
-            z_ok = z > 1e-2
-            zs = jnp.maximum(z, 1e-2)
-            inv_z = 1.0 / zs
-            pr = jnp.stack(
-                [f * pc[..., 0] * inv_z + ppx, f * pc[..., 1] * inv_z + ppy], -1
-            )
-            res = pr - uc  # (c, O, 2)
-            zero = jnp.zeros_like(z)
+            zero = jnp.zeros_like(inv_z)
             du = jnp.stack([f * inv_z, zero, -f * pc[..., 0] * inv_z**2], -1)
             dv = jnp.stack([zero, f * inv_z, -f * pc[..., 1] * inv_z**2], -1)
             dpx = jnp.stack([du, dv], -2)  # (c, O, 2, 3)
@@ -249,8 +279,7 @@ def pose_ba_core(
             Jc = jnp.concatenate([Jw, dpx], -1)  # (c, O, 2, 6) camera Jac
             JX = jnp.einsum("coab,cobd->coad", dpx, Rc)  # (c, O, 2, 3)
 
-            r2 = jnp.sum(res * res, -1)
-            w = of * z_ok / (1.0 + r2 / (huber_px * huber_px))
+            w = valid / (1.0 + r2 / h2)
 
             # per-track landmark block and its exact elimination. Damping is
             # RELATIVE (LM-style, fraction of the trace): an absolute
@@ -283,13 +312,26 @@ def pose_ba_core(
             g = g.at[fc.reshape(-1)].add(gd.reshape(-1, 6))
             wsum = wsum + jnp.sum(w)
             rsum = rsum + jnp.sum(w * r2)
-            return (H, g, wsum, rsum), None
+            cost = cost + jnp.sum(valid * 0.5 * h2 * jnp.log1p(r2 / h2))
+            return (H, g, wsum, rsum, cost), None
 
         H0 = jnp.zeros((n, n, 6, 6))
         g0 = jnp.zeros((n, 6))
-        (H, g, wsum, rsum), _ = jax.lax.scan(
-            chunk_hg, (H0, g0, jnp.asarray(0.0), jnp.asarray(0.0)), (fidx, px, okb)
+        zero = jnp.asarray(0.0)
+        (H, g, wsum, rsum, cost), _ = jax.lax.scan(
+            chunk_hg, (H0, g0, zero, zero, zero), (fidx, px, okb)
         )
+        return H, g, wsum, rsum, cost + _prior_cost(R, t)
+
+    def body(state, _):
+        # Levenberg-Marquardt with step acceptance: a candidate step is
+        # kept only when it lowers the robust objective; rejected steps
+        # revert the poses and raise the damping (measured round 4: the
+        # previous always-accept GN limit-cycled — 100 iterations ended
+        # WORSE than 30 even on perfect synthetic correspondences).
+        R, t, lam, _ = state
+
+        H, g, wsum, rsum, cost0 = _hg_pass(R, t)
 
         # gauge prior toward the initial poses (left-delta from init)
         pw = _rotlog(jnp.einsum("nij,nkj->nik", R, R0))  # R R0^T
@@ -306,7 +348,6 @@ def pose_ba_core(
         # ~[1e2 prior, 1e7 data, 1e6 anchor] — that spread alone exceeds
         # f32 linear-solve conditioning and produced NaNs on real scenes
         Hf = H.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
-        lam = 1e-3
         dg = jnp.maximum(jnp.diag(Hf), 1e-6)
         Hf = Hf + lam * jnp.diag(dg)
         Dinv = 1.0 / jnp.sqrt(dg + lam * dg)
@@ -314,7 +355,7 @@ def pose_ba_core(
         gs = g.reshape(6 * n) * Dinv
         delta = -(jnp.linalg.solve(Hs, gs) * Dinv).reshape(n, 6)
         delta = delta.at[0].set(0.0)
-        # trust region: one GN step never rotates > ~6 deg or moves a
+        # trust region: one LM step never rotates > ~6 deg or moves a
         # camera more than ~5% of the camera-cloud spread — larger steps
         # are linearization garbage (and the source of f32 NaN blowups)
         centers = -jnp.einsum("nij,ni->nj", R, t)
@@ -329,52 +370,20 @@ def pose_ba_core(
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
 
         dR = _exp_so3(delta[:, :3])
-        R_new = jnp.einsum("nij,njk->nik", dR, R)
-        t_new = t + delta[:, 3:]
+        R_cand = jnp.einsum("nij,njk->nik", dR, R)
+        t_cand = t + delta[:, 3:]
+
+        cost_cand = _cost_pass(R_cand, t_cand)
+        accept = cost_cand < cost0
+        R_new = jnp.where(accept, R_cand, R)
+        t_new = jnp.where(accept, t_cand, t)
+        lam_new = jnp.clip(jnp.where(accept, lam / 3.0, lam * 5.0), 1e-5, 1e3)
+
         rms = jnp.sqrt(rsum / jnp.maximum(wsum, 1e-9) / 2.0)
-        return (R_new, t_new), rms
+        return (R_new, t_new, lam_new, cost0), rms
 
-    (R, t), rms_hist = jax.lax.scan(body, (R0, t0), None, length=iterations)
+    (R, t, _, _), rms_hist = jax.lax.scan(
+        body, (R0, t0, jnp.asarray(1e-3), jnp.asarray(jnp.inf)), None,
+        length=iterations,
+    )
     return R, t, {"rms_px": rms_hist, "n_obs": jnp.sum(okb)}
-
-
-def refine_poses_ba(
-    w2c: np.ndarray,  # (ns, 4, 4) current w2c of the graph frames
-    focals_canvas: np.ndarray,  # (ns,)
-    pp: tuple[float, float],
-    pair_idx: np.ndarray,  # (E, 2) graph-local indices
-    u_src: np.ndarray,  # (E, P, 2)
-    u_tgt: np.ndarray,  # (E, P, 2)
-    ok: np.ndarray,  # (E, P)
-    iterations: int = 30,
-    max_obs: int = 6,
-) -> tuple[np.ndarray, dict]:
-    """numpy wrapper: pair matches -> tracks -> BA -> corrected w2c."""
-    trk_f, trk_px, trk_ok = tracks_from_pair_matches(
-        pair_idx, u_src, u_tgt, ok, max_obs=max_obs
-    )
-    if len(trk_f) < 64:
-        return w2c, {"skipped": "too_few_tracks"}
-    import jax.numpy as jnp_
-
-    R, t, diag = pose_ba_core(
-        jnp_.asarray(w2c[:, :3, :3], jnp_.float32),
-        jnp_.asarray(w2c[:, :3, 3], jnp_.float32),
-        jnp_.asarray(focals_canvas, jnp_.float32),
-        jnp_.asarray(pp[0], jnp_.float32),
-        jnp_.asarray(pp[1], jnp_.float32),
-        jnp_.asarray(trk_f, jnp_.int32),
-        jnp_.asarray(trk_px, jnp_.float32),
-        jnp_.asarray(trk_ok),
-        iterations=iterations,
-    )
-    out = np.tile(np.eye(4), (len(w2c), 1, 1))
-    out[:, :3, :3] = np.asarray(R, np.float64)
-    out[:, :3, 3] = np.asarray(t, np.float64)
-    rms = np.asarray(diag["rms_px"])
-    return out, {
-        "rms_px_first": float(rms[0]),
-        "rms_px_last": float(rms[-1]),
-        "n_tracks": int(len(trk_f)),
-        "n_obs": int(diag["n_obs"]),
-    }

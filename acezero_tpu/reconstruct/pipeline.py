@@ -348,21 +348,22 @@ class AceZeroPipeline:
             trainers.append(trainer)
 
     def _map_seeds_parallel(self, seeds: np.ndarray) -> list[tuple[dict, float, str]]:
-        """Train all candidate seed maps simultaneously (one vmapped program).
+        """Train all candidate seed maps in-process on one shared program.
 
-        TPU-idiomatic replacement for the reference's joblib process pool
-        over seeds (ace_zero.py:184-196): S tiny maps (1-image buffers, ~4MB
-        heads) batch perfectly; wall-clock ~= a single seed mapping.
+        Replaces the reference's joblib process pool over seeds
+        (ace_zero.py:184-196). S tiny maps (1-image buffers, ~4MB heads)
+        train sequentially through the SAME compiled chunk program — on the
+        axon relay each distinct program pays a large per-process
+        first-call cost, so one reused program beats a vmapped S-lane
+        stack even though the stack is a single batched dispatch (the
+        device time is S*steps either way; see the seed_training stage
+        comment).
         """
-        import jax.numpy as jnp
-
-        from acezero_tpu.training.trainer import _train_chunk_vmapped
-
         cfg = self.cfg
         train_cfg = self._base_train_cfg(cfg.seed_iterations, use_depth=True, refine=False)
         if train_cfg.buffer_host_spill:
             # 1-image seed buffers are a few thousand rows — host spill is
-            # pointless and the vmapped stage needs device arrays
+            # pointless and the chunk program wants device arrays
             from dataclasses import replace as _replace
 
             train_cfg = _replace(train_cfg, buffer_host_spill=False)
@@ -379,29 +380,6 @@ class AceZeroPipeline:
             # ONE construction path with _map_seed / the main loop: a
             # MappingTrainer per seed builds its buffer + state; only the
             # train loop itself is replaced by the vmapped chunk program
-        stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
-        state_s = stack(states)
-        buffer_s = stack(buffers)
-        ctx_s = stack(ctxs)
-
-        if self.mesh is not None:
-            # seed count (5) rarely divides the mesh; shard the buffer ROW
-            # axis (axis 1 under the stacked seed axis) instead — the same
-            # data-parallel layout as single-map training, vmapped over seeds
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from acezero_tpu.parallel.mesh import DATA_AXIS, replicate
-
-            def shard_axis1(x):
-                if x.ndim >= 2 and x.shape[1] % self.mesh.devices.size == 0:
-                    spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
-                    return jax.device_put(x, NamedSharding(self.mesh, spec))
-                return jax.device_put(x, NamedSharding(self.mesh, P()))
-
-            buffer_s = jax.tree.map(shard_axis1, buffer_s)
-            state_s = replicate(state_s, self.mesh)
-            ctx_s = replicate(ctx_s, self.mesh)
-
         import time as _time
 
         from acezero_tpu.registration.driver import register_frames_multi
@@ -424,23 +402,37 @@ class AceZeroPipeline:
 
         t0 = _time.time()
         with stage("seed_training"):
-            while True:
-                iters = np.asarray(state_s.iteration)
-                done = (iters >= np.asarray(state_s.sched.max_iterations)).all()
-                if done or (do_select and iters.min() >= sel_iters):
-                    break
-                state_s, _ = _train_chunk_vmapped(
-                    state_s, buffer_s, ctx_s, train_cfg, self.head_cfg, train_cfg.chunk_steps
-                )
+            # Lanes train SEQUENTIALLY on the same single-map chunk program
+            # the winner continuation reuses (and that the seed buffers
+            # share shapes with). A vmapped S-lane stack is the same FLOPs
+            # in one program, but on the axon relay every DISTINCT compiled
+            # program pays a large per-process first-call cost (measured
+            # 90-230 s for the stacked chunk with a LOCAL cache hit, vs
+            # 2.9 s steady state); sequential lanes add zero new programs
+            # to the critical path and cost the same device time.
+            for si in range(S):
+                st = states[si]
+                while True:
+                    stop = int(st.sched.max_iterations)
+                    if do_select:
+                        stop = min(stop, sel_iters)
+                    if int(st.iteration) >= stop:
+                        break
+                    st, _ = _train_chunk(
+                        st, buffers[si], ctxs[si], train_cfg, self.head_cfg,
+                        train_cfg.chunk_steps,
+                    )
+                states[si] = st
+        iters = [int(st.iteration) for st in states]
         _logger.info(
-            "Trained %d seed maps in parallel: iterations %s in %.1fs",
-            S, iters.tolist(), _time.time() - t0,
+            "Trained %d seed maps (sequential, shared program): iterations %s in %.1fs",
+            S, iters, _time.time() - t0,
         )
 
         # fast scoring: all seed maps registered per chunk with one shared
         # encoder pass (register_frames_multi)
         max_est = cfg.seed_selection_frames if do_select else 1000
-        head_list = [jax.tree.map(lambda x: x[si], state_s.head_params) for si in range(S)]
+        head_list = [st.head_params for st in states]
         score_cfg = self._registration_cfg(max_estimates=max_est)
         if do_select:
             # scoring only needs to RANK the seed maps: a hard 24-step
@@ -479,9 +471,7 @@ class AceZeroPipeline:
                 "continuing only the winner.",
                 sel_iters, max_est, [f"{r:.3f}" for r in rates], best,
             )
-            state_b = jax.tree.map(lambda x: x[best], state_s)
-            buffer_b = jax.tree.map(lambda x: x[best], buffer_s)
-            ctx_b = jax.tree.map(lambda x: x[best], ctx_s)
+            state_b, buffer_b, ctx_b = states[best], buffers[best], ctxs[best]
             t1 = _time.time()
             with stage("seed_training"):
                 while int(state_b.iteration) < int(state_b.sched.max_iterations):

@@ -316,19 +316,6 @@ _train_chunk = jax.jit(
 )
 
 
-@partial(jax.jit, static_argnames=("cfg", "head_cfg", "num_steps"))
-def _train_chunk_vmapped(states, buffers, ctxs, cfg, head_cfg, num_steps):
-    """Train several independent maps at once (vmap over the leading axis).
-
-    The TPU-idiomatic replacement for the reference's joblib seed-process
-    pool (ace_zero.py:184-196): the 5 candidate seed maps train as one
-    batched program — same wall-clock as a single seed.
-    """
-    return jax.vmap(
-        lambda st, buf, ctx: _train_chunk_impl(st, buf, ctx, cfg, head_cfg, num_steps)
-    )(states, buffers, ctxs)
-
-
 class MappingTrainer:
     """Drives one mapping round: buffer fill + chunked fused training.
 

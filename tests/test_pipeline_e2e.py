@@ -215,6 +215,7 @@ def test_seed_early_selection(scene_dir, tmp_path):
         seed_iterations=120,
         seed_selection_iterations=40,
         seed_selection_frames=6,
+        seed_selection_min_frames=1,  # tiny fixture scene; force selection on
         learning_rate_schedule="constant",
         learning_rate_min=0.003,
         max_training_buffer_size=4096,

@@ -152,3 +152,61 @@ def test_regressor_forward_and_refresh():
     reg2 = reg.with_new_head(jax.random.PRNGKey(13), jnp.ones(3))
     coords2 = reg2.forward(imgs)
     assert not np.allclose(np.asarray(coords), np.asarray(coords2))
+
+
+def test_encoder_matches_torch_reference_semantics(tmp_path):
+    """Import path for the REFERENCE encoder blob: build the published ACE
+    encoder as a torch module (layer names, kernel sizes, strides, and the
+    res2 skip exactly as /root/reference/ace_network.py:14-59), forward a
+    random image in torch, then import its state dict through
+    torch_io.load_encoder and assert our encoder_apply reproduces the torch
+    features. This is what `--encoder_path ace_encoder_pretrained.pt`
+    relies on."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class RefEncoder(nn.Module):
+        def __init__(self, out_channels=512):
+            super().__init__()
+            self.conv1 = nn.Conv2d(1, 32, 3, 1, 1)
+            self.conv2 = nn.Conv2d(32, 64, 3, 2, 1)
+            self.conv3 = nn.Conv2d(64, 128, 3, 2, 1)
+            self.conv4 = nn.Conv2d(128, 256, 3, 2, 1)
+            self.res1_conv1 = nn.Conv2d(256, 256, 3, 1, 1)
+            self.res1_conv2 = nn.Conv2d(256, 256, 1, 1, 0)
+            self.res1_conv3 = nn.Conv2d(256, 256, 3, 1, 1)
+            self.res2_conv1 = nn.Conv2d(256, 512, 3, 1, 1)
+            self.res2_conv2 = nn.Conv2d(512, 512, 1, 1, 0)
+            self.res2_conv3 = nn.Conv2d(512, out_channels, 3, 1, 1)
+            self.res2_skip = nn.Conv2d(256, out_channels, 1, 1, 0)
+
+        def forward(self, x):
+            x = F.relu(self.conv1(x))
+            x = F.relu(self.conv2(x))
+            x = F.relu(self.conv3(x))
+            res = F.relu(self.conv4(x))
+            x = F.relu(self.res1_conv1(res))
+            x = F.relu(self.res1_conv2(x))
+            x = F.relu(self.res1_conv3(x))
+            res = res + x
+            x = F.relu(self.res2_conv1(res))
+            x = F.relu(self.res2_conv2(x))
+            x = F.relu(self.res2_conv3(x))
+            return self.res2_skip(res) + x
+
+    torch.manual_seed(5)
+    ref = RefEncoder().eval()
+    img = torch.randn(1, 1, 48, 64)
+    with torch.no_grad():
+        want = ref(img).numpy()[0].transpose(1, 2, 0)  # HWC
+
+    blob = tmp_path / "ace_encoder_pretrained.pt"
+    torch.save(ref.state_dict(), blob)
+    params = jax.tree.map(jnp.asarray, torch_io.load_encoder(blob))
+    got = np.asarray(
+        encoder_apply(params, jnp.asarray(img.numpy().transpose(0, 2, 3, 1)))[0],
+        np.float32,
+    )
+    assert got.shape == want.shape == (6, 8, 512)
+    np.testing.assert_allclose(got, want, atol=2e-3)

@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the full loop-closure measurement (0 disables)")
     g.add_argument("--adaptive_refit_max_cycles", type=int, default=3,
                    help="cap on drift-gated extra refit cycles (0 disables)")
+    g.add_argument("--loopclose_refit_freeze_poses", type=_strtobool, default=True,
+                   help="freeze the pose MLP during refits that follow applied "
+                        "loop-closure corrections, so the fresh map adopts the "
+                        "corrected geometry instead of co-relaxing it away")
     g.add_argument("--registration_confidence", type=int, default=500)
     g.add_argument("--try_seeds", type=int, default=5)
     g.add_argument("--seed_parallel_workers", type=int, default=3)
@@ -143,6 +147,7 @@ def config_from_args(args: argparse.Namespace) -> AceZeroConfig:
         loop_closure_max_frames=args.loop_closure_max_frames,
         loop_closure_probe_frames=args.loop_closure_probe_frames,
         adaptive_refit_max_cycles=args.adaptive_refit_max_cycles,
+        loopclose_refit_freeze_poses=args.loopclose_refit_freeze_poses,
         registration_confidence=args.registration_confidence,
         try_seeds=args.try_seeds,
         seed_iterations=args.seed_iterations,

@@ -136,6 +136,15 @@ class AceZeroConfig:
     # cycles; 0 disables the adaptive path (explicit final_refit_cycles
     # still honored).
     adaptive_refit_max_cycles: int = 3
+    # when loop closure actually applied drift corrections, freeze the
+    # pose-refinement MLP for the refit that follows, so the fresh map must
+    # ADOPT the corrected geometry instead of co-relaxing the poses back
+    # toward the old sheet during training (measured round 4: track BA
+    # lifts a held-out ring pose graph 62.5 -> 82% @5cm/5deg offline, but a
+    # pose-co-trained refit + registration reverted part of the gain — the
+    # map, not the pose set, is the loop's fixed point). Registration after
+    # the refit still re-estimates every pose against the adopted map.
+    loopclose_refit_freeze_poses: bool = True
 
     # internal knobs (not in the reference surface)
     # training-scan chunk length (steps per jitted program call); part of

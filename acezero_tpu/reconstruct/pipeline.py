@@ -219,10 +219,14 @@ class AceZeroPipeline:
             chunk_steps=cfg.chunk_steps,
         )
 
-    def _refit_train_cfg(self) -> TrainConfig:
+    def _refit_train_cfg(self, freeze_poses: bool = False) -> TrainConfig:
         """Final-refit recipe (reference ace_zero_util.get_refit_mapping_cmd
         :63-109): dyntanh loss, circle schedule at lr 0.005, 25k iterations,
-        frozen poses for the first final_refit_posewait steps."""
+        frozen poses for the first final_refit_posewait steps.
+
+        freeze_poses: freeze the pose MLP for the WHOLE refit — used after
+        loop closure applied drift corrections, so the fresh map adopts the
+        corrected geometry (config.loopclose_refit_freeze_poses)."""
         cfg = self.cfg
         return TrainConfig(
             batch_size=cfg.batch_size,
@@ -236,7 +240,9 @@ class AceZeroPipeline:
             repro_loss_hard_clamp=cfg.repro_loss_hard_clamp,
             pose_refinement=cfg.refinement,
             pose_refinement_lr=cfg.pose_refinement_lr,
-            pose_refinement_wait=cfg.final_refit_posewait,
+            pose_refinement_wait=(
+                cfg.refit_iterations if freeze_poses else cfg.final_refit_posewait
+            ),
             refinement_ortho=cfg.refinement_ortho,
             refine_calibration=cfg.refine_calibration,
             use_depth=False,
@@ -401,6 +407,8 @@ class AceZeroPipeline:
         )
 
         t0 = _time.time()
+        chunk = train_cfg.chunk_steps
+        sync_chunks = max(1, train_cfg.sync_every_chunks)
         with stage("seed_training"):
             # Lanes train SEQUENTIALLY on the same single-map chunk program
             # the winner continuation reuses (and that the seed buffers
@@ -410,20 +418,34 @@ class AceZeroPipeline:
             # 90-230 s for the stacked chunk with a LOCAL cache hit, vs
             # 2.9 s steady state); sequential lanes add zero new programs
             # to the critical path and cost the same device time.
+            #
+            # Dispatch is async on the relay; only FETCHES block. With a
+            # static selection budget the whole per-lane chunk sequence is
+            # dispatched without a single host round-trip (steps past the
+            # schedule's dynamic max_iterations are no-ops inside the
+            # chunk); without selection, lanes sync once per
+            # sync_every_chunks chunks like MappingTrainer.train().
             for si in range(S):
                 st = states[si]
-                while True:
-                    stop = int(st.sched.max_iterations)
-                    if do_select:
-                        stop = min(stop, sel_iters)
-                    if int(st.iteration) >= stop:
-                        break
-                    st, _ = _train_chunk(
-                        st, buffers[si], ctxs[si], train_cfg, self.head_cfg,
-                        train_cfg.chunk_steps,
-                    )
+                if do_select:
+                    for _ in range(-(-sel_iters // chunk)):
+                        st, _ = _train_chunk(
+                            st, buffers[si], ctxs[si], train_cfg, self.head_cfg, chunk
+                        )
+                else:
+                    while True:
+                        for _ in range(sync_chunks):
+                            st, _ = _train_chunk(
+                                st, buffers[si], ctxs[si], train_cfg, self.head_cfg, chunk
+                            )
+                        it, max_it = (
+                            int(v)
+                            for v in jax.device_get((st.iteration, st.sched.max_iterations))
+                        )
+                        if it >= max_it:
+                            break
                 states[si] = st
-        iters = [int(st.iteration) for st in states]
+        iters = [int(v) for v in jax.device_get([st.iteration for st in states])]
         _logger.info(
             "Trained %d seed maps (sequential, shared program): iterations %s in %.1fs",
             S, iters, _time.time() - t0,
@@ -474,11 +496,19 @@ class AceZeroPipeline:
             state_b, buffer_b, ctx_b = states[best], buffers[best], ctxs[best]
             t1 = _time.time()
             with stage("seed_training"):
-                while int(state_b.iteration) < int(state_b.sched.max_iterations):
-                    state_b, _ = _train_chunk(
-                        state_b, buffer_b, ctx_b, train_cfg, self.head_cfg,
-                        train_cfg.chunk_steps,
+                while True:
+                    for _ in range(sync_chunks):
+                        state_b, _ = _train_chunk(
+                            state_b, buffer_b, ctx_b, train_cfg, self.head_cfg, chunk
+                        )
+                    it, max_it = (
+                        int(v)
+                        for v in jax.device_get(
+                            (state_b.iteration, state_b.sched.max_iterations)
+                        )
                     )
+                    if it >= max_it:
+                        break
             _logger.info(
                 "Winner seed %d trained to %d iterations in %.1fs.",
                 best, int(state_b.iteration), _time.time() - t1,
@@ -700,6 +730,7 @@ class AceZeroPipeline:
         scheduled_to_stop_early = False
         focal_estimate: float | None = None
         iteration = 0
+        lc_applied = False  # loop closure applied corrections before this refit
         rate_history = [max_rate]  # per-round registration rates (diagnostics)
 
         # ------------------------- main loop ------------------------------
@@ -716,7 +747,9 @@ class AceZeroPipeline:
             )
 
             if refit_round:
-                train_cfg = self._refit_train_cfg()
+                train_cfg = self._refit_train_cfg(
+                    freeze_poses=cfg.loopclose_refit_freeze_poses and lc_applied
+                )
                 init_head = None  # fresh network (ace_zero.py:269-272)
             else:
                 train_cfg = self._base_train_cfg(cfg.iterations, use_depth=False, refine=True)
@@ -792,7 +825,8 @@ class AceZeroPipeline:
             if scheduled_to_stop_early:
                 # drain accumulated drift before the final refit retrains
                 # the map from these poses (reconstruct/loopclose.py)
-                entries, _ = self._loop_close(entries, head_params, focal_estimate)
+                entries, lc_diag = self._loop_close(entries, head_params, focal_estimate)
+                lc_applied = "skipped" not in lc_diag and self._drift_detected(lc_diag)
             max_rate = max(rate, max_rate)
 
         # ---------------- extra refit cycles (drift drain) ----------------
@@ -818,18 +852,25 @@ class AceZeroPipeline:
             corrected, lc_diag = self._loop_close(entries, head_params, focal_estimate)
             if not explicit and not self._drift_detected(lc_diag):
                 break  # converged: keep the uncorrected (registration) poses
+            lc_applied = "skipped" not in lc_diag and self._drift_detected(lc_diag)
             entries = corrected
             iteration += 1
             iteration_id = f"iteration{iteration}"
             mapping_scene = self._mapping_scene_from_entries(entries)
             _logger.info(
-                "%s: extra refit cycle %d on %d frames", iteration_id, extra, len(mapping_scene)
+                "%s: extra refit cycle %d on %d frames%s",
+                iteration_id, extra, len(mapping_scene),
+                " (poses frozen: adopting loop-closure geometry)" if (
+                    lc_applied and cfg.loopclose_refit_freeze_poses
+                ) else "",
             )
             trainer = MappingTrainer(
                 mapping_scene,
                 self.encoder_params,
                 self.head_cfg,
-                self._refit_train_cfg(),
+                self._refit_train_cfg(
+                    freeze_poses=cfg.loopclose_refit_freeze_poses and lc_applied
+                ),
                 self._buffer_cfg(),
                 base_seed=cfg.base_seed + extra,
                 mesh=self.mesh,

@@ -182,12 +182,18 @@ def register_frames_multi(
     grid = get_pixel_grid(H // sub8, W // sub8, sub8)
     results: list[list[PoseFileEntry]] = [[] for _ in range(S)]
     t0 = time.time()
-    for c0 in range(0, len(order), chunk):
+    # dispatch-all-then-fetch (async relay pipelining; same pattern and
+    # rationale as register_frames' pass-1 loop below)
+    starts = range(0, len(order), chunk)
+    key, sub = jax.random.split(key)
+    all_keys = np.asarray(jax.random.split(sub, len(starts) * S * chunk)).reshape(
+        len(starts), S, chunk, -1
+    )
+    pending = []
+    for ci, c0 in enumerate(starts):
         idx = order[c0 : c0 + chunk]
         pad = chunk - len(idx)
         idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, S * chunk).reshape(S, chunk, -1)
         coords, mask_lr = _coords_chunk_multi(
             encoder_params,
             stacked,
@@ -202,10 +208,12 @@ def register_frames_multi(
             _maybe_shard(jnp.asarray(scene.focals_canvas[idx_p], jnp.float32)),
             jnp.full((chunk,), W / 2.0, jnp.float32),
             jnp.full((chunk,), H / 2.0, jnp.float32),
-            keys,
+            jnp.asarray(all_keys[ci]),
             cfg.ransac,
         )
-        out = jax.device_get(out)
+        pending.append((idx, out))
+    for idx, lazy_out in pending:
+        out = jax.device_get(lazy_out)
         poses = out["pose_c2w"].astype(np.float64)  # (S, B, 4, 4)
         confs = out["inlier_count"]
         for s_i in range(S):
@@ -364,18 +372,29 @@ def register_frames(
             ransac_cfg,
         )
 
-    for c0 in range(0, len(order), chunk):
+    # Dispatch every pass-1 chunk before fetching any result: relay dispatch
+    # is async, so chunk i+1 executes while chunk i's (tiny) outputs stream
+    # back, instead of paying a full round-trip of dead time per chunk. All
+    # chunk keys come from ONE up-front split+fetch — a per-chunk
+    # np.asarray(keys) would block on everything previously enqueued.
+    starts = range(0, len(order), chunk)
+    key, sub = jax.random.split(key)
+    all_keys = np.asarray(jax.random.split(sub, len(starts) * chunk)).reshape(
+        len(starts), chunk, -1
+    )
+    pending = []
+    for ci, c0 in enumerate(starts):
         idx = order[c0 : c0 + chunk]
         pad = chunk - len(idx)
         idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, chunk)
-        out = jax.device_get(_run_chunk(idx_p, keys, pass1_cfg))
+        keys = jnp.asarray(all_keys[ci])
+        pending.append((idx, all_keys[ci], _run_chunk(idx_p, keys, pass1_cfg)))
+    for idx, keys_np, lazy_out in pending:
+        out = jax.device_get(lazy_out)
         poses_c2w = out["pose_c2w"].astype(np.float64)
         confs = out["inlier_count"]
         valids = out["valid"]
         caps = out["hit_cap"]
-        keys_np = np.asarray(keys)
         for j, i in enumerate(idx):
             if not valids[j]:
                 failed_idx.append(int(i))
@@ -401,12 +420,15 @@ def register_frames(
             len(capped_idx), len(order), full_steps,
         )
         carr = np.asarray(capped_idx)
+        pending = []
         for c0 in range(0, len(carr), chunk):
             idx = carr[c0 : c0 + chunk]
             pad = chunk - len(idx)
             idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
             keys = jnp.asarray(np.stack([frame_key[int(i)] for i in idx_p]))
-            out = jax.device_get(_run_chunk(idx_p, keys, cfg.ransac))
+            pending.append((idx, _run_chunk(idx_p, keys, cfg.ransac)))
+        for idx, lazy_out in pending:
+            out = jax.device_get(lazy_out)
             poses_c2w = out["pose_c2w"].astype(np.float64)
             confs = out["inlier_count"]
             for j, i in enumerate(idx):
@@ -432,13 +454,19 @@ def register_frames(
             len(failed_idx), retry_cfg.max_tries,
         )
         farr = np.asarray(failed_idx)
-        for c0 in range(0, len(farr), chunk):
+        r_starts = range(0, len(farr), chunk)
+        key, sub = jax.random.split(key)
+        retry_keys = np.asarray(jax.random.split(sub, len(r_starts) * chunk)).reshape(
+            len(r_starts), chunk, -1
+        )
+        pending = []
+        for ci, c0 in enumerate(r_starts):
             idx = farr[c0 : c0 + chunk]
             pad = chunk - len(idx)
             idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, chunk)
-            out = jax.device_get(_run_chunk(idx_p, keys, retry_cfg))
+            pending.append((idx, _run_chunk(idx_p, jnp.asarray(retry_keys[ci]), retry_cfg)))
+        for idx, lazy_out in pending:
+            out = jax.device_get(lazy_out)
             poses_c2w = out["pose_c2w"].astype(np.float64)
             confs = out["inlier_count"]
             valids = out["valid"]

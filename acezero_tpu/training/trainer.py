@@ -98,6 +98,15 @@ class TrainConfig:
     buffer_host_spill: bool = False  # `--training_buffer_cpu` equivalent
     chunk_steps: int = 500
     iterations_output: int = 500
+    # Chunks dispatched back-to-back per host sync. On the axon relay a
+    # dispatch returns instantly but FETCHING (the `int(state.iteration)`
+    # stop check) costs a full round-trip (~2.4 s measured at chunk=500,
+    # ~0.5 s device time) — per-chunk syncing quintuples the seed/mapping
+    # stage wall-clock. Steps past the schedule's dynamic max_iterations
+    # are no-ops inside the chunk (`active` gate), so over-dispatching by
+    # up to sync_every_chunks-1 chunks only wastes bounded device time at
+    # the end of a round.
+    sync_every_chunks: int = 4
 
 
 class TrainState(NamedTuple):
@@ -477,36 +486,47 @@ class MappingTrainer:
         # compiled program (tiny test configs pass a small chunk_steps
         # explicitly instead)
         chunk_steps = cfg.chunk_steps
+        # The host-spill path gathers each chunk's batches on the host, and
+        # the visualizer callback needs per-chunk poses — both force a sync
+        # per chunk. The device-buffer path pipelines sync_every_chunks
+        # dispatches per round-trip (see the TrainConfig field note).
+        sync_chunks = max(1, cfg.sync_every_chunks)
+        if cfg.buffer_host_spill or self.frame_callback is not None:
+            sync_chunks = 1
         spill_rng = np.random.default_rng(int(jax.random.randint(k_train, (), 0, 2**31 - 1)))
         while True:
-            if cfg.buffer_host_spill:
-                idx = spill_rng.integers(0, n_rows, (chunk_steps, cfg.batch_size))
-                batches = {
-                    k: jnp.asarray(v[idx]).astype(
-                        jnp.bfloat16 if k == "features" else v.dtype
+            for _ in range(sync_chunks):
+                if cfg.buffer_host_spill:
+                    idx = spill_rng.integers(0, n_rows, (chunk_steps, cfg.batch_size))
+                    batches = {
+                        k: jnp.asarray(v[idx]).astype(
+                            jnp.bfloat16 if k == "features" else v.dtype
+                        )
+                        for k, v in buffer.items()
+                    }
+                    state, stats = _train_chunk(
+                        state, batches, self.ctx, cfg, self.head_cfg, chunk_steps,
+                        streamed=True,
                     )
-                    for k, v in buffer.items()
-                }
-                state, stats = _train_chunk(
-                    state, batches, self.ctx, cfg, self.head_cfg, chunk_steps,
-                    streamed=True,
+                else:
+                    state, stats = _train_chunk(
+                        state, buffer, self.ctx, cfg, self.head_cfg, chunk_steps
+                    )
+            # one batched fetch = one relay round-trip for the stop check
+            it, max_it = (
+                int(v) for v in jax.device_get((state.iteration, state.sched.max_iterations))
+            )
+            if it - last_logged >= cfg.iterations_output or it >= max_it:
+                active, losses, inl = jax.device_get(
+                    (stats["active"], stats["loss"], stats["batch_inliers"])
                 )
-            else:
-                state, stats = _train_chunk(
-                    state, buffer, self.ctx, cfg, self.head_cfg, chunk_steps
-                )
-            it = int(state.iteration)
-            if it - last_logged >= cfg.iterations_output or it >= int(state.sched.max_iterations):
-                active = np.asarray(stats["active"])
                 if active.any():
-                    losses = np.asarray(stats["loss"])[active]
-                    inl = np.asarray(stats["batch_inliers"])[active]
                     _logger.info(
                         "Iteration %6d|%6d, loss %.1f, batch inliers %.1f%%, time %.0fs",
                         it,
-                        int(state.sched.max_iterations),
-                        float(losses[-1]),
-                        float(inl[-1]) * 100,
+                        max_it,
+                        float(losses[active][-1]),
+                        float(inl[active][-1]) * 100,
                         time.time() - t0,
                     )
                 if self.frame_callback is not None:
@@ -514,7 +534,7 @@ class MappingTrainer:
                     poses = np.asarray(self.current_poses(state))[:n_img]
                     self.frame_callback(it, poses)
                 last_logged = it
-            if it >= int(state.sched.max_iterations):
+            if it >= max_it:
                 break
         train_time = time.time() - train_start
 

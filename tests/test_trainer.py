@@ -190,6 +190,49 @@ def test_early_stop_shortens_training():
     assert 140 <= result["iterations"] <= 160  # warmup 50 + buffer fill lag + cooldown 100
 
 
+def test_pipelined_sync_bit_equal():
+    """The relay-pipelined chunk loop (sync_every_chunks > 1 dispatches
+    several chunks per host round-trip, over-shooting the dynamic stop by
+    no-op steps) must produce bit-identical results to per-chunk syncing:
+    steps past max_iterations are gated by `active` inside the chunk."""
+    from dataclasses import replace
+
+    data = render_room_scene(1, h=96, w=128)
+    scene = _scene_from_synthetic(data, with_depth_idx=[0])
+    head_cfg = HeadConfig(num_head_blocks=0)
+    base = TrainConfig(
+        batch_size=256,
+        # dynamic early stop: the always-satisfied trigger freezes training
+        # at ~warmup+cooldown (70), far from a sync-group boundary at
+        # chunk_steps=50 x sync_every_chunks=3
+        schedule=ScheduleConfig(
+            schedule="1cyclepoly",
+            iterations=1000,
+            warmup_iterations=20,
+            cooldown_iterations=50,
+            cooldown_trigger_percent=-1.0,
+            cooldown_buffer_size=10,
+        ),
+        loss=ReproLossConfig(loss_type="tanh"),
+        use_depth=True,
+        chunk_steps=50,
+    )
+    buf_cfg = BufferConfig(
+        max_buffer_size=1024, samples_per_image=256, max_dataset_passes=2, image_chunk=1
+    )
+    enc = init_encoder_params(jax.random.PRNGKey(5))
+    results = []
+    for sync in (1, 3):
+        cfg = replace(base, sync_every_chunks=sync)
+        results.append(MappingTrainer(scene, enc, head_cfg, cfg, buf_cfg).train())
+    a, b = results
+    assert a["iterations"] == b["iterations"]
+    ha = jax.tree.leaves(a["head_params"])
+    hb = jax.tree.leaves(b["head_params"])
+    for x, y in zip(ha, hb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_host_spill_buffer_training():
     """The --training_buffer_cpu equivalent: buffer in host RAM, batches
     streamed to device per chunk."""

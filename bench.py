@@ -111,6 +111,30 @@ def main() -> int:
     log(f"steady-state: {steps} steps in {dt:.2f}s -> {steps_per_sec:.1f} steps/s")
     assert np.isfinite(np.asarray(stats["loss"])).all()
 
+    # ---- MFU: compiler-counted FLOPs/step vs chip bf16 peak ---------------
+    # XLA's cost analysis counts every HLO flop in the compiled chunk
+    # (fwd+bwd+optimizer for head, pose MLP, focal). Peak from the device
+    # kind; "TPU v5 lite" (v5e) bf16 peak = 197 TFLOP/s, v5p = 459.
+    mfu = flops_per_step = None
+    try:
+        lowered = jax.jit(
+            lambda s, b, c: _train_chunk(s, b, c, cfg, head_cfg, steps)
+        ).lower(state, buffer, ctx)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost["flops"]) / steps
+        kind = jax.devices()[0].device_kind.lower()
+        peak = 459e12 if "v5p" in kind or "v5 p" in kind else 197e12
+        mfu = flops_per_step * steps_per_sec / peak
+        log(
+            f"MFU: {flops_per_step / 1e9:.1f} GFLOP/step x {steps_per_sec:.0f} steps/s "
+            f"= {flops_per_step * steps_per_sec / 1e12:.1f} TFLOP/s "
+            f"/ {peak / 1e12:.0f} TFLOP/s peak ({kind}) = {mfu * 100:.1f}%"
+        )
+    except Exception as exc:  # noqa: BLE001
+        log(f"MFU accounting skipped (cost_analysis unavailable): {exc}")
+
     # ---- secondary: registration throughput through the PRODUCTION driver
     # (register_frames: chunked host loop, two-tier refineHyp budget,
     # failure retries) on NOISY maps — the number that governs real
@@ -197,10 +221,20 @@ def main() -> int:
         finally:
             reg_driver._coords_chunk_from_root = real_coords
         # sanity: the recovered poses must actually be right, else the
-        # throughput number is meaningless
+        # throughput number is meaningless. Entries are matched to ground
+        # truth BY FILE NAME: register_frames processes frames in a seeded
+        # permutation and appends entries in that order
+        # (registration/driver.py:288), so a positional entries[i] vs c2w[i]
+        # comparison measures the chord between two random ring cameras
+        # (2*5*sin45deg ~= 707 cm — the round-4 "703.1 cm" artifact).
         t_errs = [
-            float(np.linalg.norm(np.linalg.inv(e.pose_w2c)[:3, 3] - c2w[i, :3, 3]))
-            for i, e in enumerate(entries)
+            float(
+                np.linalg.norm(
+                    np.linalg.inv(e.pose_w2c)[:3, 3]
+                    - c2w[int(e.rgb_file.split("_")[1].split(".")[0]), :3, 3]
+                )
+            )
+            for e in entries
         ]
         med_t_cm = float(np.median(t_errs)) * 100.0
         log(
@@ -269,6 +303,14 @@ def main() -> int:
             ),
             "baseline": "~20-30 frames/s, reference DSAC* C++ on 12 CPU threads (measured r1)",
             "vs_baseline": round(reg_fps / 25.0, 2),
+        }
+    if mfu is not None:
+        result["secondary"]["train_step_mfu"] = {
+            "value": round(mfu * 100, 1),
+            "unit": "% of chip bf16 peak (XLA cost-analysis FLOPs/step x "
+                    "measured steps/s / peak)",
+            "flops_per_step": round(flops_per_step / 1e9, 2),
+            "flops_unit": "GFLOP/step (fwd+bwd+optimizer, compiler-counted)",
         }
     result["secondary"]["train_compile_plus_first_chunk_s"] = {
         "value": round(compile_s, 1),

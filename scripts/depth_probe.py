@@ -63,7 +63,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("--head", type=Path, default=REPO / "weights/tpu_depth_v4.pt")
     p.add_argument("--encoder", type=Path, default=REPO / "weights/tpu_encoder_v6.pt")
-    p.add_argument("--scenes_dir", type=Path, default=REPO / "results/heldout/scenes")
+    p.add_argument("--base_dir", type=Path, default=REPO / "results/heldout",
+                   help="scenes are generated/read under <base_dir>/scenes/<name>")
+    p.add_argument("--scenes", type=str, default=None,
+                   help="comma list to subset the held-out scene family")
     p.add_argument("--views", type=int, default=60)
     p.add_argument("--out", type=Path, default=None, help="append a JSONL row here")
     args = p.parse_args(argv)
@@ -76,18 +79,31 @@ def main(argv=None) -> int:
 
     est = learned_depth_estimator(args.head, encoder_path=args.encoder)
 
+    names = set(args.scenes.split(",")) if args.scenes else None
     rows = {}
     for name, kwargs in SCENES:
-        scene_dir = make_scene_dir(args.scenes_dir.parent, name, kwargs, args.views, 480, 640)
+        if names and name not in names:
+            continue
+        scene_dir = make_scene_dir(args.base_dir, name, kwargs, args.views, 480, 640)
         rows[name] = probe_scene(est, scene_dir)
         _logger.info(
             "%-24s raw-rel %.3f  shape-rel %.3f  scale-cv %.3f",
             name, rows[name]["raw_rel"], rows[name]["shape_rel"], rows[name]["scale_cv"],
         )
 
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "-C", str(REPO), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001
+        sha = "unknown"
     summary = {
         "head": str(args.head.name),
         "encoder": str(args.encoder.name),
+        "git_sha": sha,
         "scenes": rows,
         "median_shape_rel": float(np.median([r["shape_rel"] for r in rows.values()])),
     }

@@ -32,4 +32,5 @@ python3 pretrain_depth.py weights/tpu_depth_v5.pt \
     --steps 8000 \
     --batch_images 32 \
     --learning_rate 1e-3 \
-    --seed 97
+    --seed 97 \
+    --corpus v5

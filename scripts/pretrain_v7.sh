@@ -26,7 +26,15 @@
 # nuisances on, a texture-poor slice (low_texture_frac 0.25), steep-pitch
 # views (pitch_frac 0.25), and wide-baseline contrastive pairs
 # (far_pair_frac 0.5) so features stay matchable across ring-opposite
-# views. This EXACT invocation produced weights/tpu_encoder_v7.pt:
+# views.
+#
+# STATUS: this invocation DEFINES the v7 recipe; as of round 5 it has not
+# yet produced shipped weights (round 4 committed this script without
+# running it — an overclaim the round-4 review flagged). Running this
+# script trains 3 candidates (~2 h on one v5e chip), scores them with the
+# encoder_eval probes, and writes weights/tpu_encoder_v7.pt; if/when that
+# run happens its probe numbers must be recorded here and in README.md
+# before the weights ship.
 
 set -ex
 cd "$(dirname "$0")/.."

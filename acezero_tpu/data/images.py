@@ -101,12 +101,65 @@ def _decode_one(path: str, short_size: int):
         return np.asarray(img, np.uint8), (h0, w0), scale
 
 
+def _decode_cache_key(paths: list[str], short_size: int, canvas_hw) -> str:
+    """Content key for the decoded-canvas cache: file identities (path,
+    size, mtime_ns) + the decode parameters. No image decoding needed."""
+    import hashlib
+    import os
+
+    h = hashlib.sha1()
+    h.update(f"{short_size}|{canvas_hw}|v1".encode())
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
+def _decode_cache_load(cache_dir, key: str) -> "DecodedImages | None":
+    from pathlib import Path
+
+    d = Path(cache_dir) / key
+    if not (d / "ok").exists():
+        return None
+    try:
+        return DecodedImages(
+            canvases=np.load(d / "canvases.npy", mmap_mode="r"),
+            sizes=np.load(d / "sizes.npy"),
+            orig_sizes=np.load(d / "orig_sizes.npy"),
+            scale_factors=np.load(d / "scale_factors.npy"),
+        )
+    except Exception:  # noqa: BLE001 — any corruption falls back to decoding
+        return None
+
+
+def _decode_cache_store(cache_dir, key: str, imgs: "DecodedImages") -> None:
+    import os
+    import tempfile
+    from pathlib import Path
+
+    d = Path(cache_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = Path(tempfile.mkdtemp(dir=d, prefix=f".{key[:12]}_"))
+    try:
+        np.save(tmp / "canvases.npy", imgs.canvases)
+        np.save(tmp / "sizes.npy", imgs.sizes)
+        np.save(tmp / "orig_sizes.npy", imgs.orig_sizes)
+        np.save(tmp / "scale_factors.npy", imgs.scale_factors)
+        (tmp / "ok").touch()
+        os.replace(tmp, d / key)  # atomic publish
+    except OSError:
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def decode_to_canvas(
     paths: list[str],
     short_size: int = 480,
     canvas_hw: tuple[int, int] | None = None,
     num_workers: int = 16,
     use_native: bool = True,
+    cache_dir: str | None = None,
 ) -> DecodedImages:
     """Decode all images and center them on a shared canvas.
 
@@ -117,8 +170,23 @@ def decode_to_canvas(
     The grayscale/resize/placement pass runs through the native OpenMP
     pipeline (native/canvas.cpp) when a compiler is available, with a PIL
     fallback; decoding itself stays PIL (threaded — PIL releases the GIL).
+
+    cache_dir: optional decoded-canvas cache. At 7-Scenes-chess scale the
+    PNG decode costs ~30 s on one host core per reconstruction; the canvases
+    are pure functions of (files, short_size, canvas), so repeat runs mmap
+    them back in well under a second. Keyed by per-file size+mtime_ns.
     """
     n = len(paths)
+
+    cache_key = None
+    if cache_dir is not None:
+        try:
+            cache_key = _decode_cache_key(paths, short_size, canvas_hw)
+            cached = _decode_cache_load(cache_dir, cache_key)
+            if cached is not None and len(cached.canvases) == n:
+                return cached
+        except OSError:
+            cache_key = None
 
     def _load_raw(p):
         with Image.open(p) as img:
@@ -155,10 +223,13 @@ def decode_to_canvas(
 
             canvases = gray_resize_center_batch(raws, sizes, (hc, wc))
             if canvases is not None:
-                return DecodedImages(
+                out = DecodedImages(
                     canvases=canvases, sizes=sizes, orig_sizes=orig_sizes,
                     scale_factors=scales,
                 )
+                if cache_key is not None:
+                    _decode_cache_store(cache_dir, cache_key, out)
+                return out
         # fall through to the PIL path (oversized content or native failure)
 
     with _futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
@@ -187,9 +258,12 @@ def decode_to_canvas(
         x0 = (wc - w) // 2
         canvases[i, y0 : y0 + h, x0 : x0 + w] = img
 
-    return DecodedImages(
+    out = DecodedImages(
         canvases=canvases, sizes=sizes, orig_sizes=orig_sizes, scale_factors=scales
     )
+    if cache_key is not None:
+        _decode_cache_store(cache_dir, cache_key, out)
+    return out
 
 
 def heuristic_focal_length(orig_h: int, orig_w: int) -> float:

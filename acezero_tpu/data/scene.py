@@ -107,6 +107,7 @@ def load_scene(
     calibration_files: str | None = None,
     canvas_hw: tuple[int, int] | None = None,
     num_workers: int = 16,
+    decode_cache_dir: str | None = None,
 ) -> SceneData:
     """Load a scene following the reference's data-definition precedence.
 
@@ -164,7 +165,8 @@ def load_scene(
         pose_valid = np.ones(1, bool)
 
     images = decode_to_canvas(
-        files, short_size=image_short_size, canvas_hw=canvas_hw, num_workers=num_workers
+        files, short_size=image_short_size, canvas_hw=canvas_hw, num_workers=num_workers,
+        cache_dir=decode_cache_dir,
     )
 
     n = len(files)

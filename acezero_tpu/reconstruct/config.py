@@ -155,8 +155,19 @@ class AceZeroConfig:
     # N>1 = 1-D 'data' mesh over the first N devices (SURVEY.md §2.3)
     num_devices: int = 0
     num_decode_workers: int = 16
+    # decoded-canvas cache: canvases are pure functions of (files,
+    # resolution), so repeat reconstructions of the same scene mmap them
+    # back instead of re-paying ~30 s of single-core PNG decode at chess
+    # scale. Keyed by per-file size+mtime; None disables.
+    decode_cache_dir: Path | None = Path("/tmp/acezero_canvas_cache")
     refinement_steps: int = 100  # registrar refit cap (early-stops on no growth)
     # registrar two-tier refit: first-pass step cap before stragglers re-run
     # densely packed at the full cap (registration/driver.py); <=0 disables
     refit_tier1: int = 16
+    # pre-dispatch every big compiled program at pipeline construction so
+    # server-side compiles overlap the host image decode instead of
+    # serializing into the stages (reconstruct/warmup.py). Only engages at
+    # scale (small scenes finish before the warmup pays for itself).
+    prewarm: bool = True
+    prewarm_min_frames: int = 200
     extras: dict = field(default_factory=dict)

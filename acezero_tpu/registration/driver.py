@@ -111,7 +111,7 @@ def _coords_chunk_multi(
 
 
 @partial(jax.jit, static_argnames=("ransac_cfg",))
-def _ransac_chunk(
+def _ransac_chunk_jit(
     coords,  # (B, h, w, 3)
     mask_lr,  # (B, h, w)
     grid,  # (h, w, 2)
@@ -119,29 +119,39 @@ def _ransac_chunk(
     ppx,
     ppy,
     keys,  # (B, 2)
+    max_steps,  # () int32 RUNTIME refineHyp cap
     ransac_cfg: RansacConfig,
 ):
     return jax.vmap(
-        lambda k, sc, m, f, px_, py_: estimate_pose(k, sc, m, grid, f, px_, py_, ransac_cfg)
+        lambda k, sc, m, f, px_, py_: estimate_pose(
+            k, sc, m, grid, f, px_, py_, ransac_cfg, max_steps
+        )
     )(keys, coords, mask_lr, focals, ppx, ppy)
 
 
-@partial(jax.jit, static_argnames=("ransac_cfg",))
-def _ransac_chunk_multi(
-    coords,  # (S, B, h, w, 3)
-    mask_lr,  # (B, h, w)
-    grid,
-    focals,
-    ppx,
-    ppy,
-    keys,  # (S, B, 2)
-    ransac_cfg: RansacConfig,
-):
-    return jax.vmap(
-        lambda c_s, k_s: _ransac_chunk.__wrapped__(
-            c_s, mask_lr, grid, focals, ppx, ppy, k_s, ransac_cfg
-        )
-    )(coords, keys)
+def _canonical_ransac(cfg: RansacConfig) -> RansacConfig:
+    """Static jit key for a RansacConfig: the refineHyp cap travels as a
+    runtime scalar, so budgets differing only in it (tier-1/tier-2/scoring)
+    share ONE compiled program — every distinct program pays a large
+    first-call cost on the shared-host relay."""
+    from dataclasses import replace as _replace
+
+    return _replace(cfg, refinement_steps=0)
+
+
+def _ransac_chunk(coords, mask_lr, grid, focals, ppx, ppy, keys, ransac_cfg, max_steps=None):
+    steps = ransac_cfg.refinement_steps if max_steps is None else max_steps
+    return _ransac_chunk_jit(
+        coords,
+        mask_lr,
+        grid,
+        focals,
+        ppx,
+        ppy,
+        keys,
+        jnp.asarray(steps, jnp.int32),
+        _canonical_ransac(ransac_cfg),
+    )
 
 
 def register_frames_multi(
@@ -201,29 +211,33 @@ def register_frames_multi(
             _maybe_shard(jnp.asarray(images[idx_p])),
             _maybe_shard(jnp.asarray(sizes[idx_p])),
         )
-        out = _ransac_chunk_multi(
-            coords,
-            mask_lr,
-            grid,
-            _maybe_shard(jnp.asarray(scene.focals_canvas[idx_p], jnp.float32)),
-            jnp.full((chunk,), W / 2.0, jnp.float32),
-            jnp.full((chunk,), H / 2.0, jnp.float32),
-            jnp.asarray(all_keys[ci]),
-            cfg.ransac,
-        )
-        pending.append((idx, out))
-    for idx, lazy_out in pending:
-        out = jax.device_get(lazy_out)
-        poses = out["pose_c2w"].astype(np.float64)  # (S, B, 4, 4)
-        confs = out["inlier_count"]
-        for s_i in range(S):
+        focals_c = _maybe_shard(jnp.asarray(scene.focals_canvas[idx_p], jnp.float32))
+        ppx_c = jnp.full((chunk,), W / 2.0, jnp.float32)
+        ppy_c = jnp.full((chunk,), H / 2.0, jnp.float32)
+        # one head per solve: each (chunk, head) pair reuses the SAME
+        # compiled registrar program as normal registration instead of a
+        # separate S-stacked program (same device FLOPs; one fewer program
+        # paying the relay's first-call cost)
+        outs = [
+            _ransac_chunk(
+                coords[s_i], mask_lr, grid, focals_c, ppx_c, ppy_c,
+                jnp.asarray(all_keys[ci, s_i]), cfg.ransac,
+            )
+            for s_i in range(S)
+        ]
+        pending.append((idx, outs))
+    for idx, lazy_outs in pending:
+        for s_i, lazy_out in enumerate(lazy_outs):
+            out = jax.device_get(lazy_out)
+            poses = out["pose_c2w"].astype(np.float64)  # (B, 4, 4)
+            confs = out["inlier_count"]
             for j, i in enumerate(idx):
                 results[s_i].append(
                     PoseFileEntry(
                         rgb_file=scene.rgb_files[i],
-                        pose_w2c=np.linalg.inv(poses[s_i, j]),
+                        pose_w2c=np.linalg.inv(poses[j]),
                         focal_length=float(scene.focals_orig[i]),
-                        confidence=float(confs[s_i, j]),
+                        confidence=float(confs[j]),
                     )
                 )
     _logger.info(
@@ -322,12 +336,7 @@ def register_frames(
 
     full_steps = cfg.ransac.refinement_steps
     tiered = 0 < cfg.refit_tier1 < full_steps
-    if tiered:
-        from dataclasses import replace as _replace
-
-        pass1_cfg = _replace(cfg.ransac, refinement_steps=cfg.refit_tier1)
-    else:
-        pass1_cfg = cfg.ransac
+    pass1_steps = cfg.refit_tier1 if tiered else full_steps
 
     canv_dev = sizes_dev = root_idx = None
     if mesh is None:
@@ -337,7 +346,7 @@ def register_frames(
     sub8 = 8
     grid = get_pixel_grid(H // sub8, W // sub8, sub8)
 
-    def _run_chunk(idx_p, keys, ransac_cfg):
+    def _run_chunk(idx_p, keys, ransac_cfg, max_steps):
         chunk_n = len(idx_p)
         if mesh is None:
             coords, mask_lr = _coords_chunk_from_root(
@@ -370,6 +379,7 @@ def register_frames(
             jnp.full((chunk_n,), H / 2.0, jnp.float32),
             keys,
             ransac_cfg,
+            max_steps,
         )
 
     # Dispatch every pass-1 chunk before fetching any result: relay dispatch
@@ -388,7 +398,7 @@ def register_frames(
         pad = chunk - len(idx)
         idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
         keys = jnp.asarray(all_keys[ci])
-        pending.append((idx, all_keys[ci], _run_chunk(idx_p, keys, pass1_cfg)))
+        pending.append((idx, all_keys[ci], _run_chunk(idx_p, keys, cfg.ransac, pass1_steps)))
     for idx, keys_np, lazy_out in pending:
         out = jax.device_get(lazy_out)
         poses_c2w = out["pose_c2w"].astype(np.float64)
@@ -426,7 +436,7 @@ def register_frames(
             pad = chunk - len(idx)
             idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
             keys = jnp.asarray(np.stack([frame_key[int(i)] for i in idx_p]))
-            pending.append((idx, _run_chunk(idx_p, keys, cfg.ransac)))
+            pending.append((idx, _run_chunk(idx_p, keys, cfg.ransac, full_steps)))
         for idx, lazy_out in pending:
             out = jax.device_get(lazy_out)
             poses_c2w = out["pose_c2w"].astype(np.float64)
@@ -464,7 +474,7 @@ def register_frames(
             idx = farr[c0 : c0 + chunk]
             pad = chunk - len(idx)
             idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
-            pending.append((idx, _run_chunk(idx_p, jnp.asarray(retry_keys[ci]), retry_cfg)))
+            pending.append((idx, _run_chunk(idx_p, jnp.asarray(retry_keys[ci]), retry_cfg, full_steps)))
         for idx, lazy_out in pending:
             out = jax.device_get(lazy_out)
             poses_c2w = out["pose_c2w"].astype(np.float64)

@@ -156,16 +156,21 @@ def _sample_hypotheses(key, pts, px, logits, focal, ppx, ppy, cfg: RansacConfig)
 
 
 @f32_matmul
-def _refine(rvec0, tvec0, pts, px, mask_f, focal, ppx, ppy, cfg: RansacConfig):
+def _refine(rvec0, tvec0, pts, px, mask_f, focal, ppx, ppy, cfg: RansacConfig, max_steps):
     """Iterative masked-inlier refits tracking the best inlier count.
 
     Reference-exact refineHyp loop (dsacstar_util.h:522-597): refit on the
     current inlier set, accept while the inlier count keeps growing, stop at
-    the first non-growth or after `refinement_steps` refits. Expressed as a
+    the first non-growth or after `max_steps` refits. Expressed as a
     lax.while_loop so easy frames stop after a handful of refits; under
     vmap, converged lanes are masked while stubborn frames keep refining up
     to the cap — wall-clock is the slowest frame in the chunk, not
     cap x chunk.
+
+    `max_steps` is a RUNTIME scalar: the two-tier registration budget
+    (tier-1 16 / tier-2 100) and the capped seed-scoring budget all run on
+    ONE compiled program instead of one per cap (each distinct program pays
+    a large first-call cost on the shared-host relay).
     """
 
     def count_and_mask(rvec, tvec):
@@ -177,7 +182,7 @@ def _refine(rvec0, tvec0, pts, px, mask_f, focal, ppx, ppy, cfg: RansacConfig):
 
     def cond(state):
         _, _, _, _, _, growing, steps = state
-        return growing & (steps < cfg.refinement_steps)
+        return growing & (steps < max_steps)
 
     def body(state):
         rvec, tvec, best_count, best_rvec, best_tvec, _, steps = state
@@ -213,7 +218,7 @@ def _refine(rvec0, tvec0, pts, px, mask_f, focal, ppx, ppy, cfg: RansacConfig):
     best_tvec = jnp.where(improved, tvec, best_tvec)
     # still growing when the step cap cut the loop short (not natural
     # convergence) — the driver re-runs such frames with a bigger budget
-    hit_cap = growing & (steps >= cfg.refinement_steps)
+    hit_cap = growing & (steps >= max_steps)
     return best_rvec, best_tvec, best_count, hit_cap
 
 
@@ -261,6 +266,7 @@ def estimate_pose(
     ppx: jax.Array,
     ppy: jax.Array,
     cfg: RansacConfig = RansacConfig(),
+    max_refine_steps: jax.Array | None = None,
 ):
     """Estimate one camera pose from a scene-coordinate prediction.
 
@@ -270,12 +276,16 @@ def estimate_pose(
       valid_mask: (h, w) bool — False for padded canvas cells.
       pixel_grid: (h, w, 2) full-res pixel targets of the cells.
       focal, ppx, ppy: intrinsics in full-res pixels.
+      max_refine_steps: optional RUNTIME refineHyp cap overriding
+        cfg.refinement_steps (lets different budgets share one program).
 
     Returns:
       dict with pose_c2w (4, 4), inlier_count (int32; the confidence),
       score (float32 soft-inlier score of the selected hypothesis), and
       valid (bool — False if no hypothesis could be sampled).
     """
+    if max_refine_steps is None:
+        max_refine_steps = jnp.asarray(cfg.refinement_steps, jnp.int32)
     h, w = scene_coords.shape[:2]
     pts = scene_coords.reshape(-1, 3)
     px = pixel_grid.reshape(-1, 2)
@@ -302,7 +312,8 @@ def estimate_pose(
     any_valid = jnp.any(hyp_valid)
 
     rvec, tvec, inliers, hit_cap = _refine(
-        rvec_h[best_h], tvec_h[best_h], pts, px, mask_f, focal, ppx, ppy, cfg
+        rvec_h[best_h], tvec_h[best_h], pts, px, mask_f, focal, ppx, ppy, cfg,
+        max_refine_steps,
     )
 
     if cfg.polish_steps > 0 and cfg.polish_tau > 0:
@@ -335,6 +346,7 @@ def estimate_poses_batch(
     ppxs: jax.Array,
     ppys: jax.Array,
     cfg: RansacConfig = RansacConfig(),
+    max_refine_steps: jax.Array | None = None,
 ):
     """Register a whole batch of frames in one device computation.
 
@@ -345,6 +357,6 @@ def estimate_poses_batch(
     keys = jax.random.split(key, B)
     return jax.vmap(
         lambda k, sc, m, f, px_, py_: estimate_pose(
-            k, sc, m, pixel_grid, f, px_, py_, cfg
+            k, sc, m, pixel_grid, f, px_, py_, cfg, max_refine_steps
         )
     )(keys, scene_coords, valid_masks, focals, ppxs, ppys)

@@ -57,7 +57,7 @@ def plan_buffer_size(cfg: BufferConfig, num_images: int) -> tuple[int, int]:
     return total, passes
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_depth"))
+@partial(jax.jit, static_argnames=("cfg",))
 def _fill_chunk(
     encoder_params,
     images_u8,  # (B, H, W)
@@ -65,7 +65,6 @@ def _fill_chunk(
     target_maps,  # (B, hs, ws, 3) world-coordinate targets (zeros if unused)
     key,
     cfg: BufferConfig,
-    use_depth: bool,
 ):
     """Process one image chunk: augment, encode, sample patches.
 
@@ -111,14 +110,15 @@ def _fill_chunk(
     cx = (cell_idx % ws).astype(jnp.float32)
     px = jnp.stack([(cx + 0.5) * sub, (cy + 0.5) * sub], axis=-1)  # (B, S, 2)
 
-    if use_depth:
-        warped = jax.vmap(lambda m, t, s: warp_target_map(m, t, s))(
-            target_maps, aug["thetas"], aug["scales"]
-        )  # (B, hs, ws, 3)
-        t_flat = warped.reshape(B, hs * ws, 3)
-        rows_crds = jnp.take_along_axis(t_flat, cell_idx[..., None], axis=1)
-    else:
-        rows_crds = jnp.zeros((B, S, 3), jnp.float32)
+    # targets are warped unconditionally: self-supervised rounds pass zero
+    # maps (which warp to zeros), so the seed round (depth supervision) and
+    # every mapping round share ONE compiled fill program instead of two —
+    # distinct programs pay a large first-call cost on the shared-host relay
+    warped = jax.vmap(lambda m, t, s: warp_target_map(m, t, s))(
+        target_maps, aug["thetas"], aug["scales"]
+    )  # (B, hs, ws, 3)
+    t_flat = warped.reshape(B, hs * ws, 3)
+    rows_crds = jnp.take_along_axis(t_flat, cell_idx[..., None], axis=1)
 
     return {
         "features": rows_feat.astype(jnp.bfloat16).reshape(B * S, -1),
@@ -139,7 +139,7 @@ def _write_rows(buffer, rows, start):
     )
 
 
-@partial(jax.jit, donate_argnames=("buffer",), static_argnames=("cfg", "use_depth"))
+@partial(jax.jit, donate_argnames=("buffer",), static_argnames=("cfg",))
 def _fill_pass(
     buffer,
     encoder_params,
@@ -151,7 +151,6 @@ def _fill_pass(
     key,
     row0,  # starting buffer row for this pass
     cfg: BufferConfig,
-    use_depth: bool,
 ):
     """One full dataset pass as a single device program.
 
@@ -175,7 +174,6 @@ def _fill_pass(
             targets_dev[idx],
             k,
             cfg,
-            use_depth,
         )
         rows["img_idx"] = jnp.repeat(idx.astype(jnp.int32), S)
         buf = jax.tree.map(
@@ -191,6 +189,44 @@ def _fill_pass(
         body, buffer, (jnp.arange(n_chunks, dtype=jnp.int32), keys)
     )
     return buffer
+
+
+def buffer_alloc_rows(
+    cfg: BufferConfig,
+    num_images: int,
+    devices_pad: int = 1,
+    pad_rows_to_bucket: bool = True,
+) -> tuple[int, int]:
+    """(total_rows, allocated_rows) for a fill — the single source of the
+    buffer shape, shared by fill_training_buffer and the program prewarmer
+    (reconstruct/warmup.py), which must construct bit-identical shapes."""
+    total, _ = plan_buffer_size(cfg, num_images)
+    total = (total // cfg.samples_per_image) * cfg.samples_per_image
+    if devices_pad > 1:
+        total = (total // devices_pad) * devices_pad
+    alloc = next_bucket(total, 4096) if pad_rows_to_bucket else total
+    return total, alloc
+
+
+def allocate_buffer(alloc: int, feat_dim: int, host: bool = False) -> dict:
+    """Zero-initialized structure-of-arrays patch buffer (device or host)."""
+    if host:
+        return {
+            "features": np.zeros((alloc, feat_dim), np.float16),
+            "target_px": np.zeros((alloc, 2), np.float32),
+            "target_crds": np.zeros((alloc, 3), np.float32),
+            "img_idx": np.zeros((alloc,), np.int32),
+            "theta": np.zeros((alloc,), np.float32),
+            "scale": np.ones((alloc,), np.float32),
+        }
+    return {
+        "features": jnp.zeros((alloc, feat_dim), jnp.bfloat16),
+        "target_px": jnp.zeros((alloc, 2), jnp.float32),
+        "target_crds": jnp.zeros((alloc, 3), jnp.float32),
+        "img_idx": jnp.zeros((alloc,), jnp.int32),
+        "theta": jnp.zeros((alloc,), jnp.float32),
+        "scale": jnp.ones((alloc,), jnp.float32),
+    }
 
 
 def next_bucket(n: int, minimum: int = 1) -> int:
@@ -212,6 +248,7 @@ def fill_training_buffer(
     host_spill: bool = False,
     pad_rows_to_bucket: bool = False,
     device_view=None,
+    target_rows_bucket: int = 0,
 ):
     """Fill the patch buffer from a scene's canvas images.
 
@@ -225,44 +262,30 @@ def fill_training_buffer(
       device_view: optional (full_canvases_dev, full_sizes_dev, indices)
         from DecodedImages.device_view() — reuses the scene's one-time
         canvas upload instead of re-sending the (subset) images every round.
+      target_rows_bucket: pad the per-image target-map table to this many
+        rows (shape bucketing: rounds mapping different-size subsets share
+        one compiled fill program; pass the full scene's bucket).
 
     Returns:
       dict of device arrays: features (M, C) bf16, target_px (M, 2),
       target_crds (M, 3), img_idx (M,) int32, theta (M,), scale (M,).
     """
     n, H, W = images_u8.shape
-    total, passes = plan_buffer_size(cfg, n)
-    total = (total // (cfg.samples_per_image)) * cfg.samples_per_image
-    if devices_pad > 1:
-        total = (total // devices_pad) * devices_pad
+    _, passes = plan_buffer_size(cfg, n)
     # jit-shape bucketing: allocate the padded size up front (one buffer, no
     # transient duplicate); the pad region is cyclic-filled after the fill
-    alloc = next_bucket(total, 4096) if (pad_rows_to_bucket and not host_spill) else total
+    total, alloc = buffer_alloc_rows(
+        cfg, n, devices_pad, pad_rows_to_bucket and not host_spill
+    )
 
     use_depth = target_maps is not None
     feat_dim = encoder_params["res2_conv3"]["w"].shape[-1]
     S = cfg.samples_per_image
 
-    if host_spill:
-        # the `--training_buffer_cpu` equivalent (reference ace_trainer.py:52,
-        # 330-340): rows spill to host RAM; training streams batches back.
-        buffer = {
-            "features": np.zeros((alloc, feat_dim), np.float16),
-            "target_px": np.zeros((alloc, 2), np.float32),
-            "target_crds": np.zeros((alloc, 3), np.float32),
-            "img_idx": np.zeros((alloc,), np.int32),
-            "theta": np.zeros((alloc,), np.float32),
-            "scale": np.ones((alloc,), np.float32),
-        }
-    else:
-        buffer = {
-            "features": jnp.zeros((alloc, feat_dim), jnp.bfloat16),
-            "target_px": jnp.zeros((alloc, 2), jnp.float32),
-            "target_crds": jnp.zeros((alloc, 3), jnp.float32),
-            "img_idx": jnp.zeros((alloc,), jnp.int32),
-            "theta": jnp.zeros((alloc,), jnp.float32),
-            "scale": jnp.ones((alloc,), jnp.float32),
-        }
+    # host buffer = the `--training_buffer_cpu` equivalent (reference
+    # ace_trainer.py:52,330-340): rows spill to host RAM; training streams
+    # batches back.
+    buffer = allocate_buffer(alloc, feat_dim, host=host_spill)
 
     if device_view is not None:
         images_dev, sizes_dev, root_idx = device_view
@@ -272,10 +295,16 @@ def fill_training_buffer(
         sizes_dev = jnp.asarray(sizes)
         idx_map = np.arange(n)
     hs, ws = H // cfg.subsample, W // cfg.subsample
+    n_targets = max(n, target_rows_bucket)
     if use_depth:
-        targets_dev = jnp.asarray(target_maps, jnp.float32)
+        tm = np.asarray(target_maps, np.float32)
+        if n_targets > n:
+            tm = np.concatenate(
+                [tm, np.zeros((n_targets - n, hs, ws, 3), np.float32)], axis=0
+            )
+        targets_dev = jnp.asarray(tm)
     else:
-        targets_dev = jnp.zeros((n, hs, ws, 3), jnp.float32)
+        targets_dev = jnp.zeros((n_targets, hs, ws, 3), jnp.float32)
 
     chunk = cfg.image_chunk
     row = 0
@@ -299,12 +328,22 @@ def fill_training_buffer(
         # path below.
         if not host_spill:
             seg_chunks = max(1, 1_048_576 // (chunk * S))
+            # segments come in exactly TWO shapes (full and 1/4) — a
+            # data-dependent tail length would compile a fresh _fill_pass
+            # program per distinct scene/round size, and every distinct
+            # program pays a large first-call cost on the shared-host relay.
+            # Whatever neither shape covers falls to the per-chunk path.
+            small_seg = max(1, seg_chunks // 4)
             pos = 0
             while True:
                 fit_chunks = (total - row) // (chunk * S)
                 avail_chunks = (n - pos) // chunk
-                take = min(seg_chunks, fit_chunks, avail_chunks)
-                if take <= 0:
+                cap = min(fit_chunks, avail_chunks)
+                if cap >= seg_chunks:
+                    take = seg_chunks
+                elif cap >= small_seg:
+                    take = small_seg
+                else:
                     break
                 seg = order[pos : pos + take * chunk]
                 key, pass_key = jax.random.split(key)
@@ -325,7 +364,6 @@ def fill_training_buffer(
                     pass_key,
                     0,
                     cfg,
-                    use_depth,
                 )
                 buffer = _write_rows(buffer, staging, row)
                 # _fill_pass donates its staging arg; the returned block can
@@ -352,7 +390,6 @@ def fill_training_buffer(
                 targets_dev[idx],
                 sub_key,
                 cfg,
-                use_depth,
             )
             rows["img_idx"] = jnp.repeat(jnp.asarray(idx, jnp.int32), S)
             if n_real < chunk:

@@ -11,6 +11,7 @@ mask instead — same numbers, static shapes.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,62 @@ def dyntanh_weight(cfg: ReproLossConfig, iteration: jax.Array) -> jax.Array:
     return (1.0 - sw) * cfg.soft_clamp + cfg.soft_clamp_min
 
 
+class ReproLossHP(NamedTuple):
+    """Runtime (traced) loss hyperparameters.
+
+    Like the schedule's ScheduleHP, the loss KIND and its float knobs are
+    runtime scalars so the mapping round (tanh) and the final refit (dyntanh)
+    share one compiled train-chunk program (every distinct program pays a
+    large first-call cost on the shared-host relay). All five variants are a
+    few elementwise ops + one reduction each over the batch — computing all
+    and selecting costs nothing next to the head matmuls.
+    """
+
+    kind: jax.Array  # int32 index into LOSS_TYPES
+    total_iters: jax.Array  # float32
+    soft_clamp: jax.Array
+    soft_clamp_min: jax.Array
+    circle_schedule: jax.Array  # bool
+
+
+def loss_hp(cfg: ReproLossConfig) -> ReproLossHP:
+    import numpy as np
+
+    kind = "l1+logl1" if cfg.loss_type == "l1+log" else cfg.loss_type
+    return ReproLossHP(
+        kind=np.int32(LOSS_TYPES.index(kind)),
+        total_iters=np.float32(cfg.total_iterations),
+        soft_clamp=np.float32(cfg.soft_clamp),
+        soft_clamp_min=np.float32(cfg.soft_clamp_min),
+        circle_schedule=np.bool_(cfg.circle_schedule),
+    )
+
+
+def dyntanh_weight_hp(hp: ReproLossHP, iteration: jax.Array) -> jax.Array:
+    t = jnp.clip(iteration / jnp.maximum(hp.total_iters, 1.0), 0.0, 1.0)
+    sw_circle = 1.0 - jnp.sqrt(jnp.maximum(1.0 - t * t, 0.0))
+    sw = jnp.where(hp.circle_schedule, sw_circle, t)
+    return (1.0 - sw) * hp.soft_clamp + hp.soft_clamp_min
+
+
+def repro_loss_hp(
+    hp: ReproLossHP, errs: jax.Array, valid_mask: jax.Array, iteration: jax.Array
+) -> jax.Array:
+    """`repro_loss` with the variant selected at runtime by hp.kind."""
+    mask = valid_mask.astype(errs.dtype)
+    loss_tanh = _weighted_tanh_sum(errs, mask, hp.soft_clamp)
+    loss_dyntanh = _weighted_tanh_sum(errs, mask, dyntanh_weight_hp(hp, iteration))
+    big = errs > hp.soft_clamp
+    loss_small = jnp.sum(errs * mask * (~big))
+    loss_l1 = loss_small
+    loss_l1_sqrt = loss_small + jnp.sum(
+        jnp.sqrt(hp.soft_clamp * jnp.maximum(errs, 1e-12)) * mask * big
+    )
+    loss_l1_log = loss_small + jnp.sum(jnp.log1p(hp.soft_clamp * errs) * mask * big)
+    stacked = jnp.stack([loss_tanh, loss_dyntanh, loss_l1, loss_l1_sqrt, loss_l1_log])
+    return stacked[hp.kind]
+
+
 def repro_loss(
     cfg: ReproLossConfig, errs: jax.Array, valid_mask: jax.Array, iteration: jax.Array
 ) -> jax.Array:
@@ -52,22 +109,6 @@ def repro_loss(
       valid_mask: (B,) boolean or float mask.
       iteration: scalar current iteration (drives the dyntanh schedule).
     """
-    mask = valid_mask.astype(errs.dtype)
-    if cfg.loss_type == "tanh":
-        return _weighted_tanh_sum(errs, mask, cfg.soft_clamp)
-    if cfg.loss_type == "dyntanh":
-        return _weighted_tanh_sum(errs, mask, dyntanh_weight(cfg, iteration))
-    if cfg.loss_type == "l1":
-        small = mask * (errs <= cfg.soft_clamp)
-        return jnp.sum(errs * small)
-    if cfg.loss_type == "l1+sqrt":
-        big = errs > cfg.soft_clamp
-        loss_small = jnp.sum(errs * mask * (~big))
-        loss_big = jnp.sum(jnp.sqrt(cfg.soft_clamp * jnp.maximum(errs, 1e-12)) * mask * big)
-        return loss_small + loss_big
-    if cfg.loss_type in ("l1+logl1", "l1+log"):
-        big = errs > cfg.soft_clamp
-        loss_small = jnp.sum(errs * mask * (~big))
-        loss_big = jnp.sum(jnp.log1p(cfg.soft_clamp * errs) * mask * big)
-        return loss_small + loss_big
-    raise ValueError(f"Unknown loss type {cfg.loss_type!r}; expected one of {LOSS_TYPES}")
+    if cfg.loss_type not in LOSS_TYPES and cfg.loss_type != "l1+log":
+        raise ValueError(f"Unknown loss type {cfg.loss_type!r}; expected one of {LOSS_TYPES}")
+    return repro_loss_hp(loss_hp(cfg), errs, valid_mask, iteration)

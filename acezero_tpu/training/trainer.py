@@ -47,14 +47,15 @@ from acezero_tpu.geometry.rotations import special_gramschmidt, special_procrust
 from acezero_tpu.models.head import HeadConfig, head_apply_flat, init_head_params
 from acezero_tpu.models.posenet import init_posenet_params, posenet_apply
 from acezero_tpu.training.buffer import BufferConfig, fill_training_buffer, next_bucket
-from acezero_tpu.training.loss import ReproLossConfig, repro_loss
+from acezero_tpu.training.loss import ReproLossConfig, loss_hp, repro_loss_hp
 from acezero_tpu.training.optim import AdamWState, adamw_init, adamw_update
 from acezero_tpu.training.schedule import (
     ScheduleConfig,
     ScheduleState,
     init_schedule,
-    schedule_lr,
-    schedule_update,
+    schedule_hp,
+    schedule_lr_hp,
+    schedule_update_hp,
 )
 
 _logger = logging.getLogger(__name__)
@@ -107,6 +108,46 @@ class TrainConfig:
     # up to sync_every_chunks-1 chunks only wastes bounded device time at
     # the end of a round.
     sync_every_chunks: int = 4
+    # pose-table shape bucket: pad the per-image pose/focal tables to this
+    # many rows (0 = auto next-power-of-two of the scene size). The
+    # reconstruction loop maps a different confident SUBSET every round;
+    # pinning the bucket to the full scene's bucket keeps every round on
+    # one compiled train-chunk program (each distinct program pays a large
+    # first-call cost on the shared-host relay).
+    pose_table_bucket: int = 0
+
+
+# TrainConfig fields that are RUNTIME scalars of the compiled train chunk
+# (traced hp inputs), not part of its static jit key. Two configs differing
+# only in these share one compiled program: the mapping round
+# (tanh/1cyclepoly/wait 0) and the final refit (dyntanh/circle/wait 5000)
+# collapse onto the same executable.
+def train_hp(cfg: TrainConfig) -> dict:
+    return {
+        "sched": schedule_hp(cfg.schedule),
+        "loss": loss_hp(cfg.loss),
+        "pose_wait": np.int32(cfg.pose_refinement_wait),
+        "pose_lr": np.float32(cfg.pose_refinement_lr),
+        "calib_lr": np.float32(cfg.refine_calibration_lr),
+    }
+
+
+def _canonical_cfg(cfg: TrainConfig) -> TrainConfig:
+    """The static jit key for a TrainConfig: runtime-scalar fields zeroed
+    (their live values travel through `train_hp`), shape-affecting fields
+    kept."""
+    from dataclasses import replace
+
+    return replace(
+        cfg,
+        schedule=ScheduleConfig(
+            cooldown_buffer_size=cfg.schedule.cooldown_buffer_size
+        ),
+        loss=ReproLossConfig(),
+        pose_refinement_wait=0,
+        pose_refinement_lr=0.0,
+        refine_calibration_lr=0.0,
+    )
 
 
 class TrainState(NamedTuple):
@@ -155,6 +196,7 @@ def _loss_fn(
     trainable: tuple,
     batch: dict,
     ctx: dict,
+    hp: dict,
     cfg: TrainConfig,
     head_cfg: HeadConfig,
     iteration: jax.Array,
@@ -207,7 +249,7 @@ def _loss_fn(
         # see focal_loss_normalize: remove the residual-scale gradient of f,
         # keep the geometric one. Inlier counting stays on raw pixels.
         err_loss = err / (1.0 + focal_g)
-    loss_valid = repro_loss(cfg.loss, err_loss, valid, iteration)
+    loss_valid = repro_loss_hp(hp["loss"], err_loss, valid, iteration)
     inliers = jnp.sum(valid & (err < cfg.cooldown_trigger_px_threshold))
     batch_inliers = inliers.astype(jnp.float32) / B
 
@@ -231,6 +273,7 @@ def _train_chunk_impl(
     state: TrainState,
     buffer: dict,
     ctx: dict,
+    hp: dict,
     cfg: TrainConfig,
     head_cfg: HeadConfig,
     num_steps: int,
@@ -242,6 +285,10 @@ def _train_chunk_impl(
     step gathers a random batch. `streamed=True` (the host-spill path):
     `buffer` holds pre-gathered (num_steps, batch, ...) arrays shipped from
     host RAM, and step i consumes slice i.
+
+    `hp` carries the runtime-scalar hyperparameters (train_hp); `cfg` must be
+    the canonical config (_canonical_cfg) so recipes differing only in those
+    scalars share this compiled program.
     """
 
     def _one_step(carry: TrainState, batch):
@@ -250,28 +297,28 @@ def _train_chunk_impl(
 
         trainable = (carry.head_params, carry.pose_params, carry.focal_g)
         (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-            trainable, batch, ctx, cfg, head_cfg, carry.iteration
+            trainable, batch, ctx, hp, cfg, head_cfg, carry.iteration
         )
         g_head, g_pose, g_focal = grads
 
         finite = jnp.isfinite(loss)
         do_update = active & finite
 
-        lr = schedule_lr(cfg.schedule, carry.sched, carry.iteration)
+        lr = schedule_lr_hp(hp["sched"], carry.sched, carry.iteration)
         head_params, head_opt = adamw_update(
             carry.head_params, g_head, carry.head_opt, lr, enabled=do_update
         )
 
         pose_enabled = (
             do_update
-            & (carry.iteration > cfg.pose_refinement_wait)
+            & (carry.iteration > hp["pose_wait"])
             & jnp.asarray(cfg.pose_refinement != "none")
         )
         pose_params, pose_opt = adamw_update(
             carry.pose_params,
             g_pose,
             carry.pose_opt,
-            jnp.asarray(cfg.pose_refinement_lr, jnp.float32),
+            jnp.asarray(hp["pose_lr"], jnp.float32),
             enabled=pose_enabled,
         )
 
@@ -279,11 +326,11 @@ def _train_chunk_impl(
             carry.focal_g,
             g_focal,
             carry.focal_opt,
-            jnp.asarray(cfg.refine_calibration_lr, jnp.float32),
+            jnp.asarray(hp["calib_lr"], jnp.float32),
             enabled=do_update & jnp.asarray(cfg.refine_calibration),
         )
 
-        sched_new = schedule_update(cfg.schedule, carry.sched, carry.iteration, aux["batch_inliers"])
+        sched_new = schedule_update_hp(hp["sched"], carry.sched, carry.iteration, aux["batch_inliers"])
         sched = jax.tree.map(lambda n, o: jnp.where(active, n, o), sched_new, carry.sched)
 
         new_state = TrainState(
@@ -320,9 +367,34 @@ def _train_chunk_impl(
     return jax.lax.scan(step, state, None, length=num_steps)
 
 
-_train_chunk = jax.jit(
+_train_chunk_jit = jax.jit(
     _train_chunk_impl, static_argnames=("cfg", "head_cfg", "num_steps", "streamed")
 )
+
+
+def _train_chunk(
+    state: TrainState,
+    buffer: dict,
+    ctx: dict,
+    cfg: TrainConfig,
+    head_cfg: HeadConfig,
+    num_steps: int,
+    streamed: bool = False,
+):
+    """Dispatch one training chunk, routing the runtime-scalar fields of
+    `cfg` through traced hp inputs so configs differing only in schedule/
+    loss/refinement scalars share ONE compiled program (the mapping and
+    refit recipes, every reconstruction round)."""
+    return _train_chunk_jit(
+        state,
+        buffer,
+        ctx,
+        train_hp(cfg),
+        _canonical_cfg(cfg),
+        head_cfg,
+        num_steps,
+        streamed,
+    )
 
 
 class MappingTrainer:
@@ -379,7 +451,8 @@ class MappingTrainer:
         # a power-of-two image count so jit shapes bucket across rounds
         w2c = np.linalg.inv(scene.poses_c2w.astype(np.float64)).astype(np.float32)
         n_img = len(scene)
-        n_pad = next_bucket(n_img, 8)
+        n_pad = max(next_bucket(n_img, 8), cfg.pose_table_bucket)
+        self._pose_pad = n_pad
         w2c_pad = np.tile(np.eye(4, dtype=np.float32)[None], (n_pad, 1, 1))
         w2c_pad[:n_img] = w2c
         focals_pad = np.ones(n_pad, np.float32)
@@ -424,6 +497,7 @@ class MappingTrainer:
             host_spill=self.cfg.buffer_host_spill,
             pad_rows_to_bucket=True,
             device_view=self.scene.images.device_view(),
+            target_rows_bucket=self._pose_pad,
         )
         if shard and self.mesh is not None and not self.cfg.buffer_host_spill:
             # shard the HBM hog across the mesh; params/state replicate and

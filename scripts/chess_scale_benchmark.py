@@ -110,7 +110,14 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=1305)
     p.add_argument("--generate_only", action="store_true")
     p.add_argument("--label", type=str, default="warm")
+    p.add_argument("--log_compiles", action="store_true",
+                   help="log every XLA compilation (program-count diagnosis)")
     args = p.parse_args(argv)
+
+    if args.log_compiles:
+        import jax
+
+        jax.config.update("jax_log_compiles", True)
 
     generate(args.scene_dir, args.views, args.height, args.width)
     if args.generate_only:

@@ -72,6 +72,9 @@ class DecodedImages:
         default=None, repr=False, compare=False
     )
     root_indices: np.ndarray | None = field(default=None, repr=False, compare=False)
+    # True when `canvases` is a zero-stride placeholder (SceneData.subset
+    # with copy_canvases=False): pixel content must come from device_view()
+    content_is_stub: bool = field(default=False, repr=False, compare=False)
 
     @property
     def canvas_hw(self) -> tuple[int, int]:

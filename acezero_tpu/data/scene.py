@@ -68,13 +68,30 @@ class SceneData:
             return np.zeros(3, np.float32)
         return self.poses_c2w[valid, :3, 3].mean(axis=0).astype(np.float32)
 
-    def subset(self, indices: np.ndarray) -> "SceneData":
+    def subset(self, indices: np.ndarray, copy_canvases: bool = True) -> "SceneData":
+        """Scene restricted to `indices`.
+
+        copy_canvases=False skips materializing the (k, H, W) host canvas
+        gather (~600 MB / several seconds per mapping round at chess scale)
+        and substitutes a zero-stride stub: valid ONLY for consumers that
+        read pixel content through device_view() (the root canvases +
+        root_indices), which is every training/registration path. The stub
+        is all-zeros so accidental content reads fail loudly in results,
+        and DecodedImages.content_is_stub marks it for debugging."""
         indices = np.asarray(indices)
         root = self.images.ensure_root()
+        if copy_canvases:
+            canvases = self.images.canvases[indices]
+        else:
+            hc, wc = self.images.canvas_hw
+            canvases = np.broadcast_to(
+                np.zeros((1, hc, wc), np.uint8), (len(indices), hc, wc)
+            )
         return SceneData(
             rgb_files=[self.rgb_files[i] for i in indices],
             images=DecodedImages(
-                canvases=self.images.canvases[indices],
+                canvases=canvases,
+                content_is_stub=not copy_canvases,
                 sizes=self.images.sizes[indices],
                 orig_sizes=self.images.orig_sizes[indices],
                 scale_factors=self.images.scale_factors[indices],

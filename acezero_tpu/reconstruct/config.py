@@ -49,7 +49,11 @@ class AceZeroConfig:
     # ace_zero.py:179-211 + ace_zero_util.py:255). 0 restores the
     # reference schedule.
     seed_selection_iterations: int = 2000
-    seed_selection_frames: int = 500
+    # scoring only needs to RANK the candidate maps; 320 frames at a hard
+    # 12-step refineHyp cap ranks identically to 500 @ 24 (measured r5:
+    # candidate rates 16-66%, spread far above the subsample noise) at
+    # roughly half the stage cost
+    seed_selection_frames: int = 320
     # selection only pays off at scale: below this many frames the full
     # seed schedule costs ~1 min total, while cutting the winner's training
     # trajectory measurably perturbs chaotic small-ring reconstructions

@@ -494,7 +494,7 @@ class AceZeroPipeline:
         head_list = [st.head_params for st in states]
         score_cfg = self._registration_cfg(max_estimates=max_est)
         if do_select:
-            # scoring only needs to RANK the seed maps: a hard 24-step
+            # scoring only needs to RANK the seed maps: a hard 12-step
             # refineHyp cap (no tier-2 rerun) lowers every map's inlier
             # counts by the same mechanism and preserves the ranking, at a
             # fraction of the full budget's worst-lane cost. The winner's
@@ -504,7 +504,7 @@ class AceZeroPipeline:
 
             score_cfg = _replace(
                 score_cfg,
-                ransac=_replace(score_cfg.ransac, refinement_steps=24),
+                ransac=_replace(score_cfg.ransac, refinement_steps=12),
                 refit_tier1=0,
             )
         with stage("seed_scoring"):
@@ -579,7 +579,8 @@ class AceZeroPipeline:
                 focal_override_orig=focal_override,
                 mesh=self.mesh,
             )
-        write_pose_file(self.out / f"poses_{iteration_id}.txt", entries)
+        with stage("artifacts"):
+            write_pose_file(self.out / f"poses_{iteration_id}.txt", entries)
         if self.visualizer is not None:
             self._render_round(head_params, iteration_id, entries)
         return entries
@@ -755,7 +756,7 @@ class AceZeroPipeline:
                 keep[0].confidence,
             )
         indices = np.asarray([by_file[e.rgb_file] for e in keep])
-        sub = self.scene.subset(indices)
+        sub = self.scene.subset(indices, copy_canvases=False)
         sub.poses_c2w = np.stack([e.pose_c2w for e in keep]).astype(np.float32)
         sub.pose_valid = np.ones(len(keep), bool)
         sub.focals_orig = np.asarray([e.focal_length for e in keep], np.float32)
@@ -805,7 +806,8 @@ class AceZeroPipeline:
             iteration_id = f"iteration{iteration}"
             refit_round = scheduled_to_stop_early and cfg.final_refit
 
-            mapping_scene = self._mapping_scene_from_entries(entries)
+            with stage("scene_subset"):
+                mapping_scene = self._mapping_scene_from_entries(entries)
             _logger.info(
                 "%s: mapping on %d confident frames%s",
                 iteration_id,
@@ -841,24 +843,25 @@ class AceZeroPipeline:
                         c2w, caption=f"{_id} · step {it}", progress=it / max(_max, 1)
                     )
 
-            trainer = MappingTrainer(
-                mapping_scene,
-                self.encoder_params,
-                self.head_cfg,
-                train_cfg,
-                self._buffer_cfg(),
-                head_params=init_head,
-                base_seed=cfg.base_seed,
-                mesh=self.mesh,
-                frame_callback=frame_cb,
-            )
             with stage("mapping", trace=True):
+                trainer = MappingTrainer(
+                    mapping_scene,
+                    self.encoder_params,
+                    self.head_cfg,
+                    train_cfg,
+                    self._buffer_cfg(),
+                    head_params=init_head,
+                    base_seed=cfg.base_seed,
+                    mesh=self.mesh,
+                    frame_callback=frame_cb,
+                )
                 result = trainer.train()
             head_params = result["head_params"]
 
-            torch_io.save_head(
-                self.out / f"{iteration_id}.pt", jax.device_get(head_params), self.head_cfg
-            )
+            with stage("artifacts"):
+                torch_io.save_head(
+                    self.out / f"{iteration_id}.pt", jax.device_get(head_params), self.head_cfg
+                )
             # preliminary poses: refined w2c with confidence = inf
             focal_estimate = result["focal_orig"] or float(mapping_scene.focals_orig[0])
             prelim = [
@@ -870,7 +873,8 @@ class AceZeroPipeline:
                 )
                 for i in range(len(mapping_scene))
             ]
-            write_pose_file(self.out / f"poses_{iteration_id}_preliminary.txt", prelim)
+            with stage("artifacts"):
+                write_pose_file(self.out / f"poses_{iteration_id}_preliminary.txt", prelim)
 
             entries = self._register_all(head_params, iteration_id, focal_override=focal_estimate)
             rate = registration_rates(
@@ -934,23 +938,24 @@ class AceZeroPipeline:
                     lc_applied and cfg.loopclose_refit_freeze_poses
                 ) else "",
             )
-            trainer = MappingTrainer(
-                mapping_scene,
-                self.encoder_params,
-                self.head_cfg,
-                self._refit_train_cfg(
-                    freeze_poses=cfg.loopclose_refit_freeze_poses and lc_applied
-                ),
-                self._buffer_cfg(),
-                base_seed=cfg.base_seed + extra,
-                mesh=self.mesh,
-            )
             with stage("mapping", trace=True):
+                trainer = MappingTrainer(
+                    mapping_scene,
+                    self.encoder_params,
+                    self.head_cfg,
+                    self._refit_train_cfg(
+                        freeze_poses=cfg.loopclose_refit_freeze_poses and lc_applied
+                    ),
+                    self._buffer_cfg(),
+                    base_seed=cfg.base_seed + extra,
+                    mesh=self.mesh,
+                )
                 result = trainer.train()
             head_params = result["head_params"]
-            torch_io.save_head(
-                self.out / f"{iteration_id}.pt", jax.device_get(head_params), self.head_cfg
-            )
+            with stage("artifacts"):
+                torch_io.save_head(
+                    self.out / f"{iteration_id}.pt", jax.device_get(head_params), self.head_cfg
+                )
             focal_estimate = result["focal_orig"] or focal_estimate
             entries = self._register_all(head_params, iteration_id, focal_override=focal_estimate)
             rate = registration_rates(

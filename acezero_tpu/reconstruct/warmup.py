@@ -151,9 +151,16 @@ def _prewarm(pl, n: int, canvas_hw: tuple[int, int]) -> None:
     bucket = max(next_bucket(n, 8), 8)
     targets = jnp.zeros((bucket, H // 8, W // 8, 3), jnp.float32)
 
-    # warm in the order the pipeline needs the programs
+    # warm in the order the pipeline needs the programs. The seed train
+    # chunk goes FIRST: its server-side load is the longest (~45-60 s) and
+    # it gates the whole seed stage, while the per-chunk fill program it
+    # needs beforehand loads in a few seconds.
 
-    # 1. per-chunk fill program (seed-round buffer fill + pass tails)
+    # 1. seed train chunk (1-image buffer, depth supervision, no refinement)
+    seed_cfg = pl._base_train_cfg(cfg.seed_iterations, use_depth=True, refine=False)
+    pending.append(_train_warm(seed_cfg, pose_rows=8, n_fill=1))
+
+    # 2. per-chunk fill program (seed-round buffer fill + pass tails)
     from acezero_tpu.training.buffer import _fill_chunk, _fill_pass
 
     rows = _fill_chunk(
@@ -161,10 +168,6 @@ def _prewarm(pl, n: int, canvas_hw: tuple[int, int]) -> None:
         targets[:chunk_imgs], key, buffer_cfg,
     )
     pending.append(rows["theta"])
-
-    # 2. seed train chunk (1-image buffer, depth supervision, no refinement)
-    seed_cfg = pl._base_train_cfg(cfg.seed_iterations, use_depth=True, refine=False)
-    pending.append(_train_warm(seed_cfg, pose_rows=8, n_fill=1))
 
     # 3. seed-scoring coords (shared encoder pass, S heads) + the
     #    (cap-dynamic) RANSAC chunk shared by scoring and registration
@@ -214,6 +217,21 @@ def _prewarm(pl, n: int, canvas_hw: tuple[int, int]) -> None:
         cfg.iterations, use_depth=False, refine=True, pose_bucket=bucket
     )
     pending.append(_train_warm(map_cfg, pose_rows=bucket, n_fill=n))
+
+    # 7. loop-closure coords+features chunk (the probe's big program,
+    #    16 s compile measured) — only when the probe will run
+    if cfg.loop_closure and cfg.loop_closure_probe_frames > 0:
+        from acezero_tpu.reconstruct.loopclose import (
+            LoopCloseConfig,
+            _coords_feats_chunk_from_root,
+        )
+
+        cc, mm, ff = _coords_feats_chunk_from_root(
+            enc, dummy_head, head_cfg, root_canv, root_sizes,
+            jnp.arange(64, dtype=jnp.int32) % n,
+            feature_dim=LoopCloseConfig().feature_dim,
+        )
+        pending.append(ff)
 
     # keep dispatches alive on the pipeline; nothing is ever fetched
     pl._prewarm_refs = pending

@@ -59,6 +59,14 @@ class RegistrationConfig:
     refit_tier1: int = 16
 
 
+def _host_keys(rng: np.random.Generator, shape: tuple) -> np.ndarray:
+    """Threefry key DATA built on the host: independent uint32 pairs are
+    valid jax PRNG keys, and building them with numpy avoids dispatching the
+    eager PRNGKey/_threefry_split programs (each distinct program costs a
+    relay cache-read/compile round trip per process)."""
+    return rng.integers(0, 2**32, size=shape + (2,), dtype=np.uint32)
+
+
 def _canvas_prologue(images_u8, sizes, subsample: int):
     """Normalize, zero the padding, and derive masks/grid/pp for a chunk.
 
@@ -149,7 +157,7 @@ def _ransac_chunk(coords, mask_lr, grid, focals, ppx, ppy, keys, ransac_cfg, max
         ppx,
         ppy,
         keys,
-        jnp.asarray(steps, jnp.int32),
+        np.int32(steps),
         _canonical_ransac(ransac_cfg),
     )
 
@@ -175,7 +183,7 @@ def register_frames_multi(
     if cfg.max_estimates > 0:
         order = order[: cfg.max_estimates]
 
-    key = jax.random.PRNGKey(cfg.base_seed)
+    key_rng = np.random.default_rng(cfg.base_seed + 0x9E37)
     images, sizes = scene.images.canvases, scene.images.sizes
     chunk = cfg.frame_chunk
     if mesh is not None:
@@ -195,10 +203,7 @@ def register_frames_multi(
     # dispatch-all-then-fetch (async relay pipelining; same pattern and
     # rationale as register_frames' pass-1 loop below)
     starts = range(0, len(order), chunk)
-    key, sub = jax.random.split(key)
-    all_keys = np.asarray(jax.random.split(sub, len(starts) * S * chunk)).reshape(
-        len(starts), S, chunk, -1
-    )
+    all_keys = _host_keys(key_rng, (len(starts), S, chunk))
     pending = []
     for ci, c0 in enumerate(starts):
         idx = order[c0 : c0 + chunk]
@@ -208,12 +213,12 @@ def register_frames_multi(
             encoder_params,
             stacked,
             head_cfg,
-            _maybe_shard(jnp.asarray(images[idx_p])),
-            _maybe_shard(jnp.asarray(sizes[idx_p])),
+            _maybe_shard(images[idx_p]),
+            _maybe_shard(sizes[idx_p]),
         )
-        focals_c = _maybe_shard(jnp.asarray(scene.focals_canvas[idx_p], jnp.float32))
-        ppx_c = jnp.full((chunk,), W / 2.0, jnp.float32)
-        ppy_c = jnp.full((chunk,), H / 2.0, jnp.float32)
+        focals_c = _maybe_shard(np.asarray(scene.focals_canvas[idx_p], np.float32))
+        ppx_c = np.full((chunk,), W / 2.0, np.float32)
+        ppy_c = np.full((chunk,), H / 2.0, np.float32)
         # one head per solve: each (chunk, head) pair reuses the SAME
         # compiled registrar program as normal registration instead of a
         # separate S-stacked program (same device FLOPs; one fewer program
@@ -221,7 +226,7 @@ def register_frames_multi(
         outs = [
             _ransac_chunk(
                 coords[s_i], mask_lr, grid, focals_c, ppx_c, ppy_c,
-                jnp.asarray(all_keys[ci, s_i]), cfg.ransac,
+                all_keys[ci, s_i], cfg.ransac,
             )
             for s_i in range(S)
         ]
@@ -310,7 +315,7 @@ def register_frames(
         focals_canvas = scene.focals_canvas
         focals_orig = scene.focals_orig
 
-    key = jax.random.PRNGKey(cfg.base_seed)
+    key_rng = np.random.default_rng(cfg.base_seed + 0x9E37)
     images = scene.images.canvases
     sizes = scene.images.sizes
 
@@ -355,9 +360,9 @@ def register_frames(
                 head_cfg,
                 canv_dev,
                 sizes_dev,
-                jnp.asarray(root_idx[idx_p], jnp.int32),
+                np.asarray(root_idx[idx_p], np.int32),
             )
-            focals_c = jnp.asarray(focals_canvas[idx_p], jnp.float32)
+            focals_c = np.asarray(focals_canvas[idx_p], np.float32)
         else:
             # mesh path: per-chunk upload + row sharding (the root array
             # lives on one device; sharded registration feeds host slices)
@@ -365,18 +370,18 @@ def register_frames(
                 encoder_params,
                 head_params,
                 head_cfg,
-                _maybe_shard(jnp.asarray(images[idx_p])),
-                _maybe_shard(jnp.asarray(sizes[idx_p])),
+                _maybe_shard(images[idx_p]),
+                _maybe_shard(sizes[idx_p]),
             )
-            focals_c = _maybe_shard(jnp.asarray(focals_canvas[idx_p], jnp.float32))
+            focals_c = _maybe_shard(np.asarray(focals_canvas[idx_p], np.float32))
             keys = _maybe_shard(keys)
         return _ransac_chunk(
             coords,
             mask_lr,
             grid,
             focals_c,
-            jnp.full((chunk_n,), W / 2.0, jnp.float32),
-            jnp.full((chunk_n,), H / 2.0, jnp.float32),
+            np.full((chunk_n,), W / 2.0, np.float32),
+            np.full((chunk_n,), H / 2.0, np.float32),
             keys,
             ransac_cfg,
             max_steps,
@@ -388,17 +393,14 @@ def register_frames(
     # chunk keys come from ONE up-front split+fetch — a per-chunk
     # np.asarray(keys) would block on everything previously enqueued.
     starts = range(0, len(order), chunk)
-    key, sub = jax.random.split(key)
-    all_keys = np.asarray(jax.random.split(sub, len(starts) * chunk)).reshape(
-        len(starts), chunk, -1
-    )
+    all_keys = _host_keys(key_rng, (len(starts), chunk))
     pending = []
     for ci, c0 in enumerate(starts):
         idx = order[c0 : c0 + chunk]
         pad = chunk - len(idx)
         idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
-        keys = jnp.asarray(all_keys[ci])
-        pending.append((idx, all_keys[ci], _run_chunk(idx_p, keys, cfg.ransac, pass1_steps)))
+        keys = all_keys[ci]
+        pending.append((idx, keys, _run_chunk(idx_p, keys, cfg.ransac, pass1_steps)))
     for idx, keys_np, lazy_out in pending:
         out = jax.device_get(lazy_out)
         poses_c2w = out["pose_c2w"].astype(np.float64)
@@ -435,7 +437,7 @@ def register_frames(
             idx = carr[c0 : c0 + chunk]
             pad = chunk - len(idx)
             idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
-            keys = jnp.asarray(np.stack([frame_key[int(i)] for i in idx_p]))
+            keys = np.stack([frame_key[int(i)] for i in idx_p])
             pending.append((idx, _run_chunk(idx_p, keys, cfg.ransac, full_steps)))
         for idx, lazy_out in pending:
             out = jax.device_get(lazy_out)
@@ -465,16 +467,13 @@ def register_frames(
         )
         farr = np.asarray(failed_idx)
         r_starts = range(0, len(farr), chunk)
-        key, sub = jax.random.split(key)
-        retry_keys = np.asarray(jax.random.split(sub, len(r_starts) * chunk)).reshape(
-            len(r_starts), chunk, -1
-        )
+        retry_keys = _host_keys(key_rng, (len(r_starts), chunk))
         pending = []
         for ci, c0 in enumerate(r_starts):
             idx = farr[c0 : c0 + chunk]
             pad = chunk - len(idx)
             idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
-            pending.append((idx, _run_chunk(idx_p, jnp.asarray(retry_keys[ci]), retry_cfg, full_steps)))
+            pending.append((idx, _run_chunk(idx_p, retry_keys[ci], retry_cfg, full_steps)))
         for idx, lazy_out in pending:
             out = jax.device_get(lazy_out)
             poses_c2w = out["pose_c2w"].astype(np.float64)

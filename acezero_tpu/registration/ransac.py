@@ -62,7 +62,7 @@ class RansacConfig:
     # count drops by more than 2 (degenerate tight subsets on early noisy
     # maps keep the reference pose). 0 disables.
     polish_tau: float = 5.0
-    polish_steps: int = 4
+    polish_steps: int = 6
 
 
 def _bearings(px: jax.Array, focal, ppx, ppy) -> jax.Array:
@@ -228,12 +228,12 @@ def _tight_polish(rvec, tvec, inliers, pts, px, mask_f, focal, ppx, ppy, cfg):
     RansacConfig.polish_tau). Keeps the reference confidence semantics: the
     returned inlier count is the tau=10 count of the RETURNED pose."""
 
-    def body(carry, _):
+    def body(carry, tau):
         rv, tv = carry
         errs_p = reprojection_errors(
             rv, tv, pts, px, focal, ppx, ppy, cfg.max_reproj_error
         )
-        w_p = ((errs_p < cfg.polish_tau) & (mask_f > 0)).astype(jnp.float32)
+        w_p = ((errs_p < tau) & (mask_f > 0)).astype(jnp.float32)
         enough = jnp.sum(w_p) >= 16
         rv2, tv2, _ = lm_pnp(
             rv, tv, pts, px, w_p, focal, ppx, ppy, iterations=cfg.lm_iterations
@@ -241,7 +241,16 @@ def _tight_polish(rvec, tvec, inliers, pts, px, mask_f, focal, ppx, ppy, cfg):
         keep = enough & jnp.all(jnp.isfinite(rv2)) & jnp.all(jnp.isfinite(tv2))
         return (jnp.where(keep, rv2, rv), jnp.where(keep, tv2, tv)), None
 
-    (rvec_p, tvec_p), _ = jax.lax.scan(body, (rvec, tvec), None, length=cfg.polish_steps)
+    # anneal the band: first half of the steps at polish_tau, second half at
+    # polish_tau/2 — once the pose sits inside the tau band, the tighter
+    # band averages less map noise into the fit (per-step >=16-inlier guard
+    # and the final rollback below bound the risk on degenerate frames)
+    taus = jnp.where(
+        jnp.arange(cfg.polish_steps) < (cfg.polish_steps + 1) // 2,
+        jnp.asarray(cfg.polish_tau, jnp.float32),
+        jnp.asarray(cfg.polish_tau / 2.0, jnp.float32),
+    )
+    (rvec_p, tvec_p), _ = jax.lax.scan(body, (rvec, tvec), taus)
     errs10 = reprojection_errors(
         rvec_p, tvec_p, pts, px, focal, ppx, ppy, cfg.max_reproj_error
     )

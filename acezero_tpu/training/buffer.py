@@ -415,7 +415,13 @@ def fill_training_buffer(
     # donated writes — no second full-size buffer)
     pos = row
     while pos < alloc:
-        ncopy = min(row, alloc - pos, 1 << 20)
+        # power-of-two copy blocks: each distinct block size is its own
+        # compiled slice/write program, and a data-dependent size would mint
+        # fresh programs every round (each costs a relay cache-read/compile)
+        cap = min(row, alloc - pos, 1 << 20)
+        ncopy = 1 << (cap.bit_length() - 1)
+        if pos + ncopy > alloc:
+            ncopy = alloc - pos  # alloc is a bucket; remainder is pow2 too
         src = jax.tree.map(lambda a: jax.lax.dynamic_slice_in_dim(a, 0, ncopy, 0), buffer)
         buffer = _write_rows(buffer, src, pos)
         pos += ncopy

@@ -99,7 +99,10 @@ def run(scene_dir: Path, out_dir: Path, encoder_path: Path, run_seed: int) -> di
 
 
 def main(argv=None) -> int:
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s: %(message)s", datefmt="%H:%M:%S",
+    )
     p = argparse.ArgumentParser()
     p.add_argument("--scene_dir", type=Path, default=Path("/tmp/acezero_chess_scale/scene"))
     p.add_argument("--out", type=Path, default=REPO / "results" / "chess_scale")

@@ -42,16 +42,16 @@ def test_mini_reconstruction_loop(scene_dir, tmp_path):
         depth_files=str(scene_path / "*_depth.npy"),
         use_external_focal_length=data["focal"],
         try_seeds=1,
-        seed_iterations=40,
-        iterations=60,
+        seed_iterations=20,
+        iterations=30,
         iterations_max=2,
         learning_rate_schedule="constant",
         learning_rate_min=0.003,
-        max_training_buffer_size=4096,
-        samples_per_image=256,
+        max_training_buffer_size=2048,
+        samples_per_image=128,
         max_dataset_passes=2,
-        batch_size=256,
-        chunk_steps=20,
+        batch_size=128,
+        chunk_steps=10,
         num_head_blocks=0,
         ransac_iterations=8,
         registration_confidence=5,

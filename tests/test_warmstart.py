@@ -37,15 +37,15 @@ def _mini_cfg(scene_path, data, out_dir, **overrides):
         rgb_files=str(scene_path / "*.png"),
         results_folder=out_dir,
         use_external_focal_length=data["focal"],
-        iterations=60,
+        iterations=30,
         iterations_max=2,
         learning_rate_schedule="constant",
         learning_rate_min=0.003,
-        max_training_buffer_size=4096,
-        samples_per_image=256,
+        max_training_buffer_size=2048,
+        samples_per_image=128,
         max_dataset_passes=2,
-        batch_size=256,
-        chunk_steps=20,
+        batch_size=128,
+        chunk_steps=10,
         num_head_blocks=0,
         ransac_iterations=8,
         registration_confidence=5,
@@ -80,13 +80,13 @@ def test_seed_network_skips_seed_stage(scene_dir, tmp_path):
         probe.encoder_params,
         head_cfg,
         TrainConfig(
-            batch_size=256,
-            schedule=ScheduleConfig(schedule="constant", iterations=120,
+            batch_size=128,
+            schedule=ScheduleConfig(schedule="constant", iterations=60,
                                     learning_rate_min=0.003),
-            loss=ReproLossConfig(total_iterations=120),
-            chunk_steps=20,
+            loss=ReproLossConfig(total_iterations=60),
+            chunk_steps=10,
         ),
-        BufferConfig(max_buffer_size=4096, samples_per_image=256, max_dataset_passes=2),
+        BufferConfig(max_buffer_size=2048, samples_per_image=128, max_dataset_passes=2),
         base_seed=11,
     )
     warm = trainer.train()

@@ -140,6 +140,15 @@ class AceZeroConfig:
     # cycles; 0 disables the adaptive path (explicit final_refit_cycles
     # still honored).
     adaptive_refit_max_cycles: int = 3
+    # when refit cycles fail to drain measured drift, emit the loop-closure-
+    # corrected pose graph as the FINAL estimate instead of the last
+    # registration. Measured round 5 and DEFAULTED OFF: on a deeply bent
+    # ring (chesslike_b seed 1305) the corrected graph inherited the bend
+    # and scored WORSE than the registration it replaced (18.3 -> 10.0
+    # @5cm/5deg); the round-4 82%-offline measurement started from a much
+    # better (62.5%) graph. Kept as an opt-in for captures where the graph
+    # is known to be coherent.
+    loopclose_final_graph: bool = False
     # when loop closure actually applied drift corrections, freeze the
     # pose-refinement MLP for the refit that follows, so the fresh map must
     # ADOPT the corrected geometry instead of co-relaxing the poses back

@@ -981,7 +981,13 @@ class AceZeroPipeline:
         # (post-hoc correction of a converged sweep was measured to HURT,
         # 94.96 -> 92.7 — hence the lc_applied gate, not an unconditional
         # final polish).
-        if cfg.final_refit and cfg.loop_closure and lc_applied and not drift_converged:
+        if (
+            cfg.final_refit
+            and cfg.loop_closure
+            and cfg.loopclose_final_graph
+            and lc_applied
+            and not drift_converged
+        ):
             corrected, lc_diag = self._loop_close(entries, head_params, focal_estimate)
             if "skipped" not in lc_diag and self._drift_detected(lc_diag):
                 _logger.info(

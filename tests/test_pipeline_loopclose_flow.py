@@ -54,6 +54,7 @@ def _cfg(scene_path, data, out_dir):
         registration_frame_chunk=8,
         refinement_steps=2,
         loop_closure=True,
+        loopclose_final_graph=True,  # the flow under test (default off)
         adaptive_refit_max_cycles=1,
         refit_iterations=20,
         final_refit_posewait=0,

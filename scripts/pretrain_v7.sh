@@ -28,13 +28,17 @@
 # (far_pair_frac 0.5) so features stay matchable across ring-opposite
 # views.
 #
-# STATUS: this invocation DEFINES the v7 recipe; as of round 5 it has not
-# yet produced shipped weights (round 4 committed this script without
-# running it — an overclaim the round-4 review flagged). Running this
-# script trains 3 candidates (~2 h on one v5e chip), scores them with the
-# encoder_eval probes, and writes weights/tpu_encoder_v7.pt; if/when that
-# run happens its probe numbers must be recorded here and in README.md
-# before the weights ship.
+# STATUS: RUN IN ROUND 5 — MEASURED NEGATIVE RESULT. This exact
+# invocation trained 3 candidates (~35 min total on one v5e chip with the
+# round-5 pipeline) and ALL of them scored far below the shipped v6 on
+# the held-out probes: match@10cm 57.5 / 50.1 / 55.4% (v6: 80.3%) with
+# the short scene-map fit collapsed to ~0.6% inl10 (median ~300 px). The
+# ring-heavy corpus as specified (far_pair_frac 0.5 + pitch_frac 0.25 +
+# low_texture_frac 0.25 at the same 8k-step budget) DEGRADES the encoder;
+# the weights were therefore NOT shipped and v6 remains the default.
+# Suspected cause: the 0.5 far-pair contrastive fraction dominates the
+# objective and destroys feature locality — a smaller fraction or a
+# longer budget is the next thing to try, not this recipe.
 
 set -ex
 cd "$(dirname "$0")/.."

@@ -33,6 +33,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch_images", type=int, default=32)
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=97)
+    p.add_argument("--width_mult", type=int, default=1,
+                   help="depth-head hidden-width multiplier (capacity probe)")
     p.add_argument("--corpus", choices=("v4", "v5"), default="v5",
                    help="corpus preset: v4 = the shipped default head's corpus "
                         "(reproduces weights/tpu_depth_v4.pt's recipe from HEAD); "
@@ -55,6 +57,7 @@ def main(argv: list[str] | None = None) -> int:
         learning_rate=args.learning_rate,
         seed=args.seed,
         corpus=args.corpus,
+        width_mult=args.width_mult,
     )
     result = pretrain_depth_head(cfg, args.encoder_path, args.output)
     print(f"final loss: {result['final_loss']:.4f}")

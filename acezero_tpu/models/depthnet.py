@@ -24,18 +24,27 @@ from acezero_tpu.models.common import conv2d, init_conv, relu
 # (name, kh, kw, cin, cout); d_conv1 consumes local features concatenated
 # with the image-global mean feature (the encoder's receptive field is far
 # too local for scene-scale reasoning; the global path carries it)
-_LAYERS = [
-    ("d_conv1", 3, 3, 1024, 256),
-    ("d_conv2", 3, 3, 256, 128),
-    ("d_conv3", 1, 1, 128, 64),
-    ("d_conv4", 1, 1, 64, 1),
-]
+def _layers(width_mult: int = 1):
+    m = max(1, int(width_mult))
+    return [
+        ("d_conv1", 3, 3, 1024, 256 * m),
+        ("d_conv2", 3, 3, 256 * m, 128 * m),
+        ("d_conv3", 1, 1, 128 * m, 64 * m),
+        ("d_conv4", 1, 1, 64 * m, 1),
+    ]
 
 
-def init_depth_head_params(key: jax.Array) -> dict:
+_LAYERS = _layers(1)
+
+
+def init_depth_head_params(key: jax.Array, width_mult: int = 1) -> dict:
+    """Depth-head params; `width_mult` scales the hidden widths (capacity
+    probe for the learned-depth ring-collapse suspect — the stored shapes
+    carry the architecture, so load/apply infer it)."""
+    layers = _layers(width_mult)
     params = {}
-    keys = jax.random.split(key, len(_LAYERS))
-    for k, (name, kh, kw, cin, cout) in zip(keys, _LAYERS):
+    keys = jax.random.split(key, len(layers))
+    for k, (name, kh, kw, cin, cout) in zip(keys, layers):
         params[name] = init_conv(k, kh, kw, cin, cout)
     return params
 

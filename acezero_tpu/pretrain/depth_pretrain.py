@@ -59,6 +59,7 @@ class DepthPretrainConfig:
     # the ring collapse — shape error unchanged; kept for reproducibility
     # of that negative result). Mixture knobs below apply to v5 only.
     corpus: str = "v5"
+    width_mult: int = 1  # depth-head hidden-width multiplier (capacity probe)
     texture_octaves_probs: tuple = ((1, 0.2), (2, 0.2), (3, 0.6))
     look_probs: tuple = (("sweep", 0.3), ("across", 0.35), ("outward", 0.35))
 
@@ -142,7 +143,7 @@ def pretrain_depth_head(
 
     key = jax.random.PRNGKey(cfg.seed)
     key, k_init = jax.random.split(key)
-    params = init_depth_head_params(k_init)
+    params = init_depth_head_params(k_init, width_mult=cfg.width_mult)
     opt = adamw_init(params)
 
     images_dev = jnp.asarray(images)
